@@ -1,0 +1,115 @@
+"""Load individual reference (PyTorch) modules for golden-value testing.
+
+The reference at /root/reference is the behavioral oracle: tests compare
+our JAX implementations against its outputs on CPU torch. We load single
+files with importlib and stub their heavyweight deps (registries, torchsde,
+xformers) so the comparisons stay hermetic. Reference code is never
+imported by the framework itself — tests only.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _load(name: str, path: str, package: str = None):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    if package:
+        mod.__package__ = package
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ensure_stub_registry():
+    """Provide a no-op utils.registry_class for reference modules."""
+    if "utils.registry_class" in sys.modules:
+        return
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = []
+    reg_mod = types.ModuleType("utils.registry_class")
+
+    class _NoopRegistry:
+        def register_class(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+        register_function = register_class
+
+    for rname in ("AUTO_ENCODER", "DATASETS", "DIFFUSION", "DISTRIBUTION",
+                  "EMBEDDER", "EMBEDMANAGER", "ENGINE", "INFER_ENGINE",
+                  "MODEL", "PRETRAIN", "VISUAL"):
+        setattr(reg_mod, rname, _NoopRegistry())
+    utils_pkg.registry_class = reg_mod
+    sys.modules.setdefault("utils", utils_pkg)
+    sys.modules["utils.registry_class"] = reg_mod
+
+
+def _ensure_stub_torchsde():
+    """Zero-noise torchsde stub: lets us golden-test the deterministic
+    (eta=0) path of the reference dpmpp_2m_sde solver."""
+    if "torchsde" in sys.modules:
+        return
+    import torch
+
+    class _ZeroTree:
+        def __init__(self, t0, w0, t1, entropy=None, **kw):
+            self.w0 = w0
+
+        def __call__(self, t0, t1):
+            return torch.zeros_like(self.w0)
+
+    mod = types.ModuleType("torchsde")
+    mod.BrownianTree = _ZeroTree
+    sys.modules["torchsde"] = mod
+
+
+def _ensure_stub_tqdm():
+    if "tqdm.auto" in sys.modules:
+        return
+    tqdm_pkg = types.ModuleType("tqdm")
+    auto = types.ModuleType("tqdm.auto")
+
+    def trange(n, **kw):
+        return range(n)
+
+    auto.trange = trange
+    tqdm_pkg.auto = auto
+    sys.modules.setdefault("tqdm", tqdm_pkg)
+    sys.modules["tqdm.auto"] = auto
+
+
+def load_ref_schedules():
+    return _load("refdiff_schedules",
+                 f"{REF}/tools/modules/diffusions/schedules.py")
+
+
+def load_ref_ddim():
+    """Reference diffusion_ddim with package-relative imports satisfied."""
+    _ensure_stub_registry()
+    pkg = types.ModuleType("refdiff")
+    pkg.__path__ = [f"{REF}/tools/modules/diffusions"]
+    sys.modules.setdefault("refdiff", pkg)
+    _load("refdiff.schedules", f"{REF}/tools/modules/diffusions/schedules.py",
+          package="refdiff")
+    _load("refdiff.losses", f"{REF}/tools/modules/diffusions/losses.py",
+          package="refdiff")
+    _ensure_stub_torchsde()
+    _ensure_stub_tqdm()
+    _load("refdiff.diffusion_gauss",
+          f"{REF}/tools/modules/diffusions/diffusion_gauss.py",
+          package="refdiff")
+    return _load("refdiff.diffusion_ddim",
+                 f"{REF}/tools/modules/diffusions/diffusion_ddim.py",
+                 package="refdiff")
+
+
+def load_ref_gauss():
+    load_ref_ddim()
+    return sys.modules["refdiff.diffusion_gauss"]
