@@ -1,0 +1,288 @@
+"""Fused attention for TPU: Pallas flash-attention kernel + flash backward.
+
+This is the TPU-native replacement for the reference's xformers
+``memory_efficient_attention`` CUDA kernel (reference:
+tools/modules/unet/util.py:213-269), which backs every spatial, temporal,
+and cross attention in the model zoo. Two workload extremes
+(SURVEY.md §7 'hard parts'):
+
+  * spatial attention: few batch rows x many tokens (h*w up to 14400 at
+    720p latents) -> classic flash attention, grid over (batch*heads,
+    q-blocks), online softmax in f32, K/V streamed through VMEM.
+  * temporal attention: huge batch (b*h*w up to ~57k) x tiny tokens
+    (f <= 32) -> a flash kernel would waste the MXU; we use a dense
+    batched jnp path that XLA fuses into efficient batched matmuls.
+
+Dispatch is automatic on sequence length; both paths share one public
+``attention`` API and one custom_vjp. The backward pass implements the
+FlashAttention backward recurrence (recompute p from saved q,k,v + lse)
+as nested lax.scan over (k-blocks, q-blocks) in pure jnp — bounded
+VMEM-sized live tensors, no S^2 residuals, runs on any backend.
+
+No chunking at max_bs=4096 is needed (reference util.py:248-257 works
+around a CUDA kernel limit): XLA/Mosaic tile arbitrary batch sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Flash kernel engages above this sequence length; below it a dense
+# batched softmax-attention is faster (temporal attention: seq = frames).
+FLASH_MIN_SEQ = 256
+
+_NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------- #
+# Pallas forward kernel
+# --------------------------------------------------------------------------- #
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      m_scr, l_scr, acc_scr, *, scale: float, sk: int,
+                      bk: int, nkb: int):
+    """Grid (BH, q-blocks, k-blocks); k is the 'arbitrary' (sequential)
+    innermost dim so Mosaic pipelines k/v block DMA with compute while
+    the online-softmax state lives in VMEM scratch across k steps.
+
+    q_ref [1,bq,D]; k_ref/v_ref [1,bk,D]; o_ref [1,bq,D]; lse_ref [1,1,bq].
+    Scores and accumulation in f32; QK^T and PV ride the MXU in the input
+    dtype with f32 accumulation.
+    """
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    bq, d = q.shape
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if nkb * bk != sk:  # static: raggedness exists; mask the padded keys
+        idx = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kk * bk
+        s = jnp.where(idx < sk, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kk == nkb - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_scr[:, :1]))[:, 0]
+
+
+def _flash_fwd_tpu(q, k, v, scale: float, bq: int = 256, bk: int = 512,
+                   interpret: bool = False):
+    """q,k,v: [BH, S, D] -> (o [BH, Sq, D], lse [BH, Sq] f32)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    bq = min(bq, _ceil_to(sq, 128))
+    bk = min(bk, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    nkb = sk_p // bk
+    grid = (bh, sq_p // bq, nkb)
+    kernel = functools.partial(_flash_fwd_kernel, scale=scale, sk=sk, bk=bk,
+                               nkb=nkb)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+            # lse kept 3D: (1, 1, bq) blocks satisfy the (8,128) tiling rule
+            pl.BlockSpec((1, 1, bq), lambda i, j, kk: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max
+            pltpu.VMEM((bq, 128), jnp.float32),  # running sum
+            pltpu.VMEM((bq, d), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * sk_p * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p),
+        interpret=interpret,
+    )(q, k, v)
+    return o[:, :sq], lse[:, 0, :sq]
+
+
+# --------------------------------------------------------------------------- #
+# dense path (small seq / any backend) — also the numerics oracle
+# --------------------------------------------------------------------------- #
+def _dense_fwd(q, k, v, scale: float):
+    """Batched dense attention, f32 softmax. q,k,v: [BH, S, D]."""
+    s = jnp.einsum("bqd,bkd->bqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=-1, keepdims=True)
+    o = jnp.einsum("bqk,bkd->bqd", (p / l).astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    lse = (m + jnp.log(l))[..., 0]
+    return o.astype(q.dtype), lse
+
+
+# --------------------------------------------------------------------------- #
+# flash backward (jnp, nested scans; recompute-from-lse)
+# --------------------------------------------------------------------------- #
+def _flash_bwd(q, k, v, o, lse, do, scale: float, bq: int = 256,
+               bk: int = 256):
+    """FlashAttention backward: dq,dk,dv without materializing S^2."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    bq = min(bq, _ceil_to(sq, 128))
+    bk = min(bk, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
+
+    f32 = jnp.float32
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))).astype(f32)
+    op = jnp.pad(o, ((0, 0), (0, sq_p - sq), (0, 0))).astype(f32)
+    dop = jnp.pad(do, ((0, 0), (0, sq_p - sq), (0, 0))).astype(f32)
+    # padded q rows get lse=+inf => p=0 => no contribution
+    lsep = jnp.pad(lse, ((0, 0), (0, sq_p - sq)), constant_values=jnp.inf)
+    kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))).astype(f32)
+    vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))).astype(f32)
+
+    dsum = (dop * op).sum(axis=-1)  # [BH, Sq_p]
+    nqb, nkb = sq_p // bq, sk_p // bk
+    kmask = (jnp.arange(sk_p) < sk)  # padded keys contribute nothing
+
+    def k_step(dq, kb_idx):
+        kb = jax.lax.dynamic_slice_in_dim(kp, kb_idx * bk, bk, 1)
+        vb = jax.lax.dynamic_slice_in_dim(vp, kb_idx * bk, bk, 1)
+        kmb = jax.lax.dynamic_slice_in_dim(kmask, kb_idx * bk, bk, 0)
+
+        def q_step(carry, qb_idx):
+            dq, dkb, dvb = carry
+            qb = jax.lax.dynamic_slice_in_dim(qp, qb_idx * bq, bq, 1)
+            dob = jax.lax.dynamic_slice_in_dim(dop, qb_idx * bq, bq, 1)
+            lseb = jax.lax.dynamic_slice_in_dim(lsep, qb_idx * bq, bq, 1)
+            db = jax.lax.dynamic_slice_in_dim(dsum, qb_idx * bq, bq, 1)
+
+            s = jnp.einsum("bqd,bkd->bqk", qb, kb) * scale
+            s = jnp.where(kmask_b(kmb, s.shape), s, _NEG_INF)
+            p = jnp.exp(s - lseb[..., None])
+            dvb = dvb + jnp.einsum("bqk,bqd->bkd", p, dob)
+            dp = jnp.einsum("bqd,bkd->bqk", dob, vb)
+            ds = p * (dp - db[..., None]) * scale
+            dq_blk = jnp.einsum("bqk,bkd->bqd", ds, kb)
+            dq = jax.lax.dynamic_update_slice_in_dim(
+                dq, jax.lax.dynamic_slice_in_dim(dq, qb_idx * bq, bq, 1)
+                + dq_blk, qb_idx * bq, 1)
+            dkb = dkb + jnp.einsum("bqk,bqd->bkd", ds, qb)
+            return (dq, dkb, dvb), None
+
+        zeros_kb = jnp.zeros((bh, bk, d), f32)
+        (dq, dkb, dvb), _ = jax.lax.scan(
+            q_step, (dq, zeros_kb, zeros_kb), jnp.arange(nqb))
+        return dq, (dkb, dvb)
+
+    dq0 = jnp.zeros((bh, sq_p, d), f32)
+    dq, (dks, dvs) = jax.lax.scan(k_step, dq0, jnp.arange(nkb))
+    dk = dks.transpose(1, 0, 2, 3).reshape(bh, sk_p, d)
+    dv = dvs.transpose(1, 0, 2, 3).reshape(bh, sk_p, d)
+    return (dq[:, :sq].astype(q.dtype), dk[:, :sk].astype(k.dtype),
+            dv[:, :sk].astype(v.dtype))
+
+
+def kmask_b(kmb, shape):
+    return jnp.broadcast_to(kmb[None, None, :], shape)
+
+
+# --------------------------------------------------------------------------- #
+# custom_vjp wiring + public API
+# --------------------------------------------------------------------------- #
+def _use_flash(sq: int, sk: int) -> bool:
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    return on_tpu and max(sq, sk) >= FLASH_MIN_SEQ
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_bhsd(q, k, v, scale):
+    if _use_flash(q.shape[1], k.shape[1]):
+        o, _ = _flash_fwd_tpu(q, k, v, scale)
+    else:
+        o, _ = _dense_fwd(q, k, v, scale)
+    return o
+
+
+def _attention_fwd(q, k, v, scale):
+    if _use_flash(q.shape[1], k.shape[1]):
+        o, lse = _flash_fwd_tpu(q, k, v, scale)
+    else:
+        o, lse = _dense_fwd(q, k, v, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _attention_bwd(scale, res, do):
+    q, k, v, o, lse = res
+    return _flash_bwd(q, k, v, o, lse, do, scale)
+
+
+_attention_bhsd.defvjp(_attention_fwd, _attention_bwd)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              scale: Optional[float] = None) -> jnp.ndarray:
+    """Multi-head scaled-dot-product attention.
+
+    q: [B, Sq, H, D]; k, v: [B, Sk, H, D]. Returns [B, Sq, H, D].
+    scale defaults to 1/sqrt(D) (matching xformers' default used by the
+    reference). Flash kernel on TPU for long sequences, fused dense
+    batched attention otherwise.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    o = _attention_bhsd(qf, kf, vf, scale)
+    return o.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_tpu(q, k, v, scale: Optional[float] = None,
+                        interpret: bool = False):
+    """Direct kernel entry (testing/benchmarks): q,k,v [BH, S, D]."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_fwd_tpu(q, k, v, scale, interpret=interpret)
