@@ -11,3 +11,4 @@ __version__ = "0.1.0"
 
 from . import core  # registries + config are always safe to import
 from . import diffusion  # import side-effect: registers DIFFUSION classes
+from . import models  # import side-effect: registers MODEL entries

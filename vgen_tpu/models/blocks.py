@@ -1,0 +1,436 @@
+"""Shared UNet block library (flax.linen, NHWC, bf16-ready).
+
+TPU-native re-implementation of the reference block zoo
+(reference: tools/modules/unet/util.py, 1741 LoC). Same computational
+graph, different architecture:
+
+  * Layout: spatial tensors are [N, H, W, C] (N = batch*frames), video
+    tensors [B, F, H, W, C] — channels-last is the native TPU layout and
+    removes the reference's permanent NCHW<->tokens rearranging.
+  * All attention rides vgen_tpu.ops.attention (Pallas flash kernel /
+    fused dense), replacing xformers (reference util.py:213-269). No
+    max_bs=4096 batch chunking — that works around a CUDA kernel limit.
+  * Activation recompute is jax.checkpoint (nn.remat) at the block level,
+    replacing fairscale/torch checkpoint wrappers.
+  * Dropout is explicit (deterministic flag + rng), train-only.
+
+Weight-compatibility: module/param naming is chosen so a PyTorch
+checkpoint maps by a mechanical key translation (see utils/ckpt.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+
+Dtype = Any
+
+zeros_init = nn.initializers.zeros
+default_kernel = nn.initializers.lecun_normal()
+
+
+def sinusoidal_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Timestep/fps embedding. NOTE the reference concatenates cos FIRST,
+    then sin (reference util.py:178-190) — kept for weight compatibility."""
+    half = dim // 2
+    t = jnp.asarray(timesteps, jnp.float32)
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = jnp.outer(t, freqs)
+    x = jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+    if dim % 2 != 0:
+        x = jnp.concatenate([x, jnp.zeros_like(x[:, :1])], axis=1)
+    return x
+
+
+def prob_mask_like(key, shape, prob: float) -> jnp.ndarray:
+    """Bernoulli focus-present mask; the reference clears one element when
+    all are True to dodge a DDP unused-parameter error (util.py:200-210) —
+    irrelevant under SPMD, so this is a plain Bernoulli draw."""
+    if prob == 1:
+        return jnp.ones(shape, dtype=bool)
+    if prob == 0:
+        return jnp.zeros(shape, dtype=bool)
+    return jax.random.uniform(key, shape) < prob
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) matching torch semantics (contiguous channel groups)."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]),
+                            epsilon=self.epsilon, dtype=self.dtype,
+                            name="norm")(x)
+
+
+class TimestepEmbedding(nn.Module):
+    """Linear-SiLU-Linear MLP over the sinusoidal embedding
+    (reference unet_t2v.py:93-104). zero_init: fps variant zero-inits the
+    output layer so the condition starts as a no-op."""
+    embed_dim: int
+    zero_init_out: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, emb):
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc1")(emb)
+        h = nn.silu(h)
+        out_init = zeros_init if self.zero_init_out else default_kernel
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2",
+                        kernel_init=out_init, bias_init=zeros_init)(h)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP (reference util.py:726-741)."""
+    dim_out: Optional[int] = None
+    mult: int = 4
+    glu: bool = True
+    dropout: float = 0.0
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = int(dim * self.mult)
+        if self.glu:
+            h = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
+        else:
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="fc_in")(x))
+        h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
+        return nn.Dense(self.dim_out or dim, dtype=self.dtype, name="fc_out")(h)
+
+
+class CrossAttention(nn.Module):
+    """q/k/v projections + fused attention (replaces the reference's
+    MemoryEfficientCrossAttention, util.py:213-269). Self-attention when
+    no context is passed."""
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, sk, self.heads, self.dim_head)
+        v = v.reshape(b, sk, self.heads, self.dim_head)
+        o = attention(q, k, v).reshape(b, sq, inner)
+        o = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
+        return nn.Dropout(self.dropout)(o, deterministic=self.deterministic)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn + cross-attn + GEGLU FF, pre-LN residuals
+    (reference util.py:674-705)."""
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+    has_cross: bool = True
+    disable_self_attn: bool = False
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        det = self.deterministic
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dropout,
+                               deterministic=det, dtype=self.dtype,
+                               name="attn1")(
+            h, context=context if self.disable_self_attn else None)
+        if self.has_cross:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = x + CrossAttention(self.heads, self.dim_head, self.dropout,
+                                   deterministic=det, dtype=self.dtype,
+                                   name="attn2")(h, context=context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(dropout=self.dropout, deterministic=det,
+                            dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> linear proj_in -> N transformer blocks over (h*w) tokens ->
+    zero-init proj_out -> residual (reference util.py:311-373).
+    Input [N, H, W, C]."""
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    disable_self_attn: bool = False
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        n, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = x.reshape(n, h * w, c)
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, self.dropout,
+                disable_self_attn=self.disable_self_attn,
+                deterministic=self.deterministic, dtype=self.dtype,
+                name=f"block_{d}")(x, context)
+        x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
+                     dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(n, h, w, c) + x_in
+
+
+class TemporalTransformer(nn.Module):
+    """Frames-as-sequence transformer over [(b h w), f, c]
+    (reference util.py:1189-1286, only_self_att path). Input
+    [B, F, H, W, C]; ``multiply_zero`` makes the residual a no-op for
+    image batches."""
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    multiply_zero: bool = False
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # (b h w) f c — pixels into batch, frames as tokens
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, self.dropout, has_cross=True,
+                deterministic=self.deterministic, dtype=self.dtype,
+                name=f"block_{d}")(x, None)
+        x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
+                     dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        if self.multiply_zero:
+            return x_in + 0.0 * x
+        return x_in + x
+
+
+class TemporalConvBlock(nn.Module):
+    """4x (GN-SiLU-Conv over frames, kernel (3,1,1)), zero-init last,
+    identity residual (reference TemporalConvBlock_v2, util.py:1652-1697).
+    Input [B, F, H, W, C]. The (3,1,1) conv is expressed as a 3D conv —
+    XLA:TPU lowers it to an MXU-friendly contraction over the frame axis."""
+    dropout: float = 0.0
+    use_image_dataset: bool = False
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        c = x.shape[-1]
+
+        def gn_silu_conv(h, name, zero=False, drop=True):
+            h = GroupNorm32(dtype=self.dtype, name=f"{name}_norm")(h)
+            h = nn.silu(h)
+            if drop:
+                h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
+            init = zeros_init if zero else default_kernel
+            return nn.Conv(c, kernel_size=(3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                           kernel_init=init, bias_init=zeros_init,
+                           dtype=self.dtype, name=f"{name}_conv")(h)
+
+        x = gn_silu_conv(x, "conv1", drop=False)
+        x = gn_silu_conv(x, "conv2")
+        x = gn_silu_conv(x, "conv3")
+        x = gn_silu_conv(x, "conv4", zero=True)
+        if self.use_image_dataset:
+            return identity + 0.0 * x
+        return identity + x
+
+
+class ResBlock(nn.Module):
+    """GN-SiLU-Conv x2 with timestep-embedding injection + skip, then a
+    temporal pseudo-3D conv chain (reference util.py:807-927).
+    Input [N, H, W, C] with N = batch*frames; ``frames`` recovers the
+    video shape for the temporal conv."""
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    use_temporal_conv: bool = True
+    use_image_dataset: bool = False
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, emb, frames: int):
+        c_out = self.out_channels or x.shape[-1]
+
+        h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_conv")(h)
+
+        emb_dim = 2 * c_out if self.use_scale_shift_norm else c_out
+        e = nn.Dense(emb_dim, dtype=self.dtype,
+                     name="emb_proj")(nn.silu(emb))
+        e = e[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(e, 2, axis=-1)
+            h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + e
+            h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
+        h = nn.Conv(c_out, (3, 3), padding=1, kernel_init=zeros_init,
+                    bias_init=zeros_init, dtype=self.dtype, name="out_conv")(h)
+
+        if x.shape[-1] == c_out:
+            skip = x
+        else:
+            skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip")(x)
+        h = skip + h
+
+        if self.use_temporal_conv:
+            n, hh, ww, cc = h.shape
+            v = h.reshape(n // frames, frames, hh, ww, cc)
+            v = TemporalConvBlock(dropout=0.1,
+                                  use_image_dataset=self.use_image_dataset,
+                                  deterministic=self.deterministic,
+                                  dtype=self.dtype, name="temporal_conv")(v)
+            h = v.reshape(n, hh, ww, cc)
+        return h
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + 3x3 conv (reference util.py:743-772). [N, H, W, C]."""
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    trim_lr: bool = False  # SR600 variant trims one row each side after 2x
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        if self.trim_lr:
+            x = x[:, 1:-1, :, :]
+        if self.use_conv:
+            x = nn.Conv(self.out_channels or c, (3, 3), padding=1,
+                        dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (reference util.py:929-970). [N, H, W, C]."""
+    out_channels: Optional[int] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels or x.shape[-1], (3, 3),
+                       strides=(2, 2), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class PreNormAttention(nn.Module):
+    """LN + multihead self-attention with qkv bias + out proj
+    (reference Attention/PreNormattention, util.py:1396-1453)."""
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.heads * self.dim_head
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, s = q.shape[0], q.shape[1]
+        q = q.reshape(b, s, self.heads, self.dim_head)
+        k = k.reshape(b, s, self.heads, self.dim_head)
+        v = v.reshape(b, s, self.heads, self.dim_head)
+        o = attention(q, k, v).reshape(b, s, inner)
+        o = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
+        o = nn.Dropout(self.dropout)(o, deterministic=self.deterministic)
+        return o + x
+
+
+class TransformerV2(nn.Module):
+    """Small pre-norm transformer used as a temporal condition encoder
+    (I2VGen local-image stem, TF-T2V condition stems; reference
+    util.py:1423-1453)."""
+    heads: int = 8
+    dim_head: int = 64
+    depth: int = 1
+    dropout: float = 0.06
+    mlp_mult: int = 4
+    deterministic: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        det = self.deterministic
+        for d in range(self.depth):
+            x = PreNormAttention(self.heads, self.dim_head, self.dropout,
+                                 deterministic=det, dtype=self.dtype,
+                                 name=f"attn_{d}")(x)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{d}")(x)
+            h = nn.Dense(x.shape[-1] * self.mlp_mult, dtype=self.dtype,
+                         name=f"ff_in_{d}")(h)
+            h = nn.gelu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=det)
+            h = nn.Dense(x.shape[-1], dtype=self.dtype, name=f"ff_out_{d}")(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=det)
+            x = x + h
+        return x
+
+
+def drop_path_mask(key, batch: int, prob: float, p_all_zero: float = 0.0,
+                   p_all_keep: float = 0.0):
+    """Per-sample DropPath keep-mask with forced all-zero/all-keep sets
+    (reference DropPath + TFT2V misc_dropout sampling, util.py:1700+,
+    unet_tf2tv.py:581-590). Returns float mask [batch]."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    keep = (jax.random.uniform(k1, (batch,)) >= prob).astype(jnp.float32)
+    mode = jax.random.uniform(k2, (batch,))
+    keep = jnp.where(mode < p_all_zero, 0.0, keep)
+    keep = jnp.where((mode >= p_all_zero) & (mode < p_all_zero + p_all_keep),
+                     1.0, keep)
+    return keep
