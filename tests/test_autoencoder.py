@@ -1,0 +1,84 @@
+"""KL-VAE tests: shape contract (8x compression), posterior math golden
+vs reference, round-trip sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+import vgen_tpu  # noqa: F401
+from vgen_tpu.core import AUTO_ENCODER
+from vgen_tpu.models.autoencoder import DiagonalGaussianDistribution
+
+DD = {"double_z": True, "z_channels": 4, "resolution": 64, "in_channels": 3,
+      "out_ch": 3, "ch": 32, "ch_mult": [1, 2], "num_res_blocks": 1,
+      "attn_resolutions": [], "dropout": 0.0}
+
+
+def test_encode_decode_shapes():
+    ae = AUTO_ENCODER.build({"type": "AutoencoderKL", "ddconfig": DD,
+                             "embed_dim": 4})
+    ae.init_random(jax.random.PRNGKey(0), image_size=32)
+    x = jnp.zeros((2, 32, 32, 3))
+    post = ae.encode(x)
+    z = post.sample(jax.random.PRNGKey(1))
+    assert z.shape == (2, 16, 16, 4)  # 2 levels -> 2x compression here
+    rec = ae.decode(z)
+    assert rec.shape == (2, 32, 32, 3)
+    zs = ae.encode_first_stage(x, jax.random.PRNGKey(2), scale_factor=0.18215)
+    assert zs.shape == z.shape
+    # reference-spelling alias works
+    zs2 = ae.encode_firsr_stage(x, jax.random.PRNGKey(2), scale_factor=0.18215)
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(zs2))
+
+
+def test_full_size_compression_is_8x():
+    dd = dict(DD, ch_mult=[1, 2, 4, 4], resolution=256)
+    ae = AUTO_ENCODER.build({"type": "AutoencoderKL", "ddconfig": dd,
+                             "embed_dim": 4})
+    x = jnp.zeros((1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: ae.module.init(jax.random.PRNGKey(0), x,
+                               sample_posterior=False))
+    # apply via eval_shape on encode path
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                          jax.eval_shape(lambda: ae.module.init(
+                              jax.random.PRNGKey(0), x, sample_posterior=False)))
+    moments = ae.module.apply(params, x, method="encode_moments")
+    assert moments.shape == (1, 8, 8, 8)  # 64/8, 2*embed_dim
+
+
+def test_video_variant_has_no_quant_conv():
+    ae = AUTO_ENCODER.build({"type": "AutoencoderVideo", "ddconfig": DD,
+                             "embed_dim": 4})
+    ae.init_random(jax.random.PRNGKey(0), image_size=32)
+    leaves = jax.tree_util.tree_leaves_with_path(ae.params)
+    assert not any("quant_conv" in jax.tree_util.keystr(p) for p, _ in leaves)
+    z = ae.encode(jnp.zeros((1, 32, 32, 3))).mode()
+    assert z.shape == (1, 16, 16, 4)
+
+
+def test_diagonal_gaussian_matches_reference_math():
+    rng = np.random.RandomState(0)
+    params = rng.randn(2, 4, 4, 8).astype(np.float32)
+    d = DiagonalGaussianDistribution(jnp.asarray(params))
+
+    mean, logvar = np.split(params, 2, axis=-1)
+    logvar = np.clip(logvar, -30, 20)
+    var = np.exp(logvar)
+    kl_exp = 0.5 * (mean ** 2 + var - 1.0 - logvar).reshape(2, -1).sum(1)
+    np.testing.assert_allclose(np.asarray(d.kl()), kl_exp, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.mode()), mean, rtol=1e-6)
+
+    sample = rng.randn(*mean.shape).astype(np.float32)
+    nll_exp = 0.5 * (np.log(2 * np.pi) + logvar
+                     + (sample - mean) ** 2 / var).reshape(2, -1).sum(1)
+    np.testing.assert_allclose(np.asarray(d.nll(jnp.asarray(sample))),
+                               nll_exp, rtol=1e-5)
+
+
+def test_identity_first_stage():
+    ae = AUTO_ENCODER.build({"type": "IdentityFirstStage"})
+    x = jnp.ones((1, 4, 4, 3))
+    np.testing.assert_allclose(np.asarray(ae.encode_first_stage(x, scale_factor=2.0)),
+                               2.0 * np.asarray(x))

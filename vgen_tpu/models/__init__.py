@@ -1,2 +1,8 @@
 from . import blocks
+from .autoencoder import (AutoencoderKL, AutoencoderVideo,
+                          DiagonalGaussianDistribution, IdentityFirstStage)
+from .clip import (CLIPModule, FrozenOpenCLIPEmbedder,
+                   FrozenOpenCLIPEmbedderZero, FrozenOpenCLIPTextVisualEmbedder,
+                   FrozenOpenCLIPVisualEmbedder, SimpleTokenizer,
+                   clip_preprocess)
 from .unet_t2v import UNetSD_T2VBase, build_unet_t2v, filter_construct

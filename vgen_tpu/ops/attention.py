@@ -261,18 +261,28 @@ _attention_bhsd.defvjp(_attention_fwd, _attention_bwd)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              scale: Optional[float] = None) -> jnp.ndarray:
+              scale: Optional[float] = None,
+              bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Multi-head scaled-dot-product attention.
 
     q: [B, Sq, H, D]; k, v: [B, Sk, H, D]. Returns [B, Sq, H, D].
     scale defaults to 1/sqrt(D) (matching xformers' default used by the
     reference). Flash kernel on TPU for long sequences, fused dense
-    batched attention otherwise.
+    batched attention otherwise. ``bias`` is an additive [Sq, Sk] score
+    bias (e.g. a causal mask) — dense path only (used for short text
+    sequences; the flash kernel is for long unmasked visual sequences).
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if bias is not None:
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        s = s + bias.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
