@@ -1,0 +1,13 @@
+"""Inference dispatcher: ``python inference.py --cfg configs/X.yaml [K V ...]``
+
+Same CLI as the reference (reference: inference.py:14-18): load the yaml
+config, dispatch on TASK_TYPE through the INFER_ENGINE registry.
+"""
+
+import vgen_tpu.engines  # noqa: F401 — registers all engines
+from vgen_tpu.core import INFER_ENGINE, Config
+
+if __name__ == "__main__":
+    cfg_update = Config(load=True).cfg_dict
+    INFER_ENGINE.build(dict(type=cfg_update["TASK_TYPE"]),
+                       cfg_update=cfg_update)

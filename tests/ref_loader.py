@@ -113,3 +113,68 @@ def load_ref_ddim():
 def load_ref_gauss():
     load_ref_ddim()
     return sys.modules["refdiff.diffusion_gauss"]
+
+
+def _ensure_stub_unet_deps():
+    """Stub xformers (torch softmax attention), open_clip, rotary, fairscale
+    so the reference UNet/VAE instantiate on CPU torch."""
+    import torch
+
+    if "xformers" not in sys.modules:
+        xf = types.ModuleType("xformers")
+        ops = types.ModuleType("xformers.ops")
+
+        def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
+            scale = q.shape[-1] ** -0.5
+            s = torch.einsum("bqd,bkd->bqk", q.float(), k.float()) * scale
+            if attn_bias is not None:
+                s = s + attn_bias
+            p = torch.softmax(s, dim=-1)
+            return torch.einsum("bqk,bkd->bqd", p, v.float()).to(q.dtype)
+
+        ops.memory_efficient_attention = memory_efficient_attention
+        xf.ops = ops
+        sys.modules["xformers"] = xf
+        sys.modules["xformers.ops"] = ops
+
+    if "open_clip" not in sys.modules:
+        oc = types.ModuleType("open_clip")
+        sys.modules["open_clip"] = oc
+
+    if "rotary_embedding_torch" not in sys.modules:
+        rot = types.ModuleType("rotary_embedding_torch")
+
+        class RotaryEmbedding:
+            def __init__(self, *a, **k):
+                pass
+
+        rot.RotaryEmbedding = RotaryEmbedding
+        sys.modules["rotary_embedding_torch"] = rot
+
+    if "fairscale.nn.checkpoint" not in sys.modules:
+        fs = types.ModuleType("fairscale")
+        fs_nn = types.ModuleType("fairscale.nn")
+        fs_ck = types.ModuleType("fairscale.nn.checkpoint")
+        fs_ck.checkpoint_wrapper = lambda m, *a, **k: m
+        fs_nn.checkpoint = fs_ck
+        fs.nn = fs_nn
+        sys.modules["fairscale"] = fs
+        sys.modules["fairscale.nn"] = fs_nn
+        sys.modules["fairscale.nn.checkpoint"] = fs_ck
+
+
+def load_ref_unet_t2v():
+    """Reference UNetSD_T2VBase module (CPU torch, CUDA deps stubbed)."""
+    _ensure_stub_registry()
+    _ensure_stub_unet_deps()
+    pkg = types.ModuleType("refunet")
+    pkg.__path__ = [f"{REF}/tools/modules/unet"]
+    sys.modules.setdefault("refunet", pkg)
+    _load("refunet.util", f"{REF}/tools/modules/unet/util.py", package="refunet")
+    return _load("refunet.unet_t2v", f"{REF}/tools/modules/unet/unet_t2v.py",
+                 package="refunet")
+
+
+def load_ref_autoencoder():
+    _ensure_stub_registry()
+    return _load("ref_autoencoder", f"{REF}/tools/modules/autoencoder.py")

@@ -1,0 +1,12 @@
+"""Training dispatcher: ``python train_net.py --cfg configs/X.yaml [K V ...]``
+
+Same CLI as the reference (reference: train_net.py:14-18): load the yaml
+config, dispatch on TASK_TYPE through the ENGINE registry.
+"""
+
+import vgen_tpu.engines  # noqa: F401 — registers all engines
+from vgen_tpu.core import ENGINE, Config
+
+if __name__ == "__main__":
+    cfg_update = Config(load=True).cfg_dict
+    ENGINE.build(dict(type=cfg_update["TASK_TYPE"]), cfg_update=cfg_update)

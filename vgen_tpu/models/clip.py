@@ -40,6 +40,11 @@ ARCHS = {
                      text=dict(width=1024, heads=16, layers=24),
                      vision=dict(width=1280, heads=16, layers=32, patch=14,
                                  image_size=224)),
+    # small arch for smoke tests / CI (not a released checkpoint)
+    "ViT-tiny-test": dict(embed_dim=1024,
+                          text=dict(width=64, heads=2, layers=2),
+                          vision=dict(width=64, heads=2, layers=2, patch=16,
+                                      image_size=32)),
 }
 
 _VOCAB_SEARCH_PATHS = (
