@@ -69,15 +69,16 @@ class Registry:
     def keys(self):
         return self._entries.keys()
 
-    def build(self, cfg: Any = None, **kwargs) -> Any:
-        """Instantiate a component from ``cfg`` (dict with 'type') + kwargs."""
-        return self._build_func(cfg, registry=self, **kwargs)
+    def build(self, __cfg: Any = None, **kwargs) -> Any:
+        """Instantiate a component from a dict-with-'type' config + kwargs.
+        (positional-only config so component kwargs named 'cfg' work)"""
+        return self._build_func(__cfg, registry=self, **kwargs)
 
     def __repr__(self):
         return f"Registry(name={self.name!r}, items={sorted(self._entries)})"
 
 
-def build_from_config(cfg: Any, registry: Registry, **kwargs) -> Any:
+def build_from_config(cfg: Any, /, registry: Registry = None, **kwargs) -> Any:
     """Build a component from a ``{'type': name, **component_kwargs}`` dict.
 
     Mirrors reference ``build_from_config`` (utils/registry.py:24-71):

@@ -1,0 +1,179 @@
+"""inference_i2vgen_entrance — I2VGen-XL image-to-video generation.
+
+TPU-native re-implementation of the reference engine
+(reference: tools/inferences/inference_i2vgen_entrance.py:52-250). Flow:
+read "imgpath|||caption" lines, CLIP image+text embed (:185-189),
+VAE-encode the first frame as local_image (:192-194), CFG-DDIM
+(guide_scale 9.0, :214-220), chunked decode (:222-231), save mp4.
+
+TPU redesign: the whole noise->DDIM->decode pipeline is one jitted
+program; cond/uncond are batched into a single UNet call per step; the
+uncond branch uses the zero (black) image feature when use_zero_infer
+(:210-213). Device memory telemetry replaces pynvml (:197-200).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import re
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core import (AUTO_ENCODER, DIFFUSION, EMBEDDER, INFER_ENGINE, MODEL,
+                    assign_signle_cfg, default_cfg, merge_update,
+                    setup_logging, setup_seed)
+from ..data import transforms as T
+from ..data.video_io import save_video
+from ..utils.ckpt import load_model_weights
+
+logger = logging.getLogger(__name__)
+
+
+def device_memory_gb() -> float:
+    """TPU HBM usage (replaces pynvml, reference :197-200)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / 1024 ** 3
+    except Exception:  # noqa: BLE001
+        return float("nan")
+
+
+def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
+    f = int(cfg.max_frames)
+    lat_h = int(cfg.resolution[1]) // int(cfg.get("scale", 8))
+    lat_w = int(cfg.resolution[0]) // int(cfg.get("scale", 8))
+    in_dim = cfg.UNet["in_dim"]
+    guide_scale = float(cfg.guide_scale)
+    ddim_steps = int(cfg.get("ddim_timesteps", 50))
+    scale_factor = float(cfg.scale_factor)
+    decoder_bs = int(cfg.get("decoder_bs", 8))
+    chunk = decoder_bs if f % decoder_bs == 0 else f
+    use_zero_infer = bool(cfg.get("use_zero_infer", True))
+
+    @jax.jit
+    def generate(unet_params, vae_params, image_pixels, y_words, y_visual,
+                 y_negative, fps, key):
+        """image_pixels: [1,H,W,3] normalized first frame."""
+        kvae, knoise, ksample = jax.random.split(key, 3)
+        # first-frame latent, repeated over frames (reference :192-194)
+        from ..models.autoencoder import DiagonalGaussianDistribution
+        moments = autoencoder.module.apply(vae_params, image_pixels,
+                                           method="encode_moments")
+        local = DiagonalGaussianDistribution(moments).sample(kvae) * scale_factor
+        local_image = jnp.repeat(local[:, None], f, axis=1)  # [1,f,lh,lw,4]
+
+        zero_image = jnp.zeros_like(y_visual) if use_zero_infer else None
+
+        def model_fn(xt, t):
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            t2 = jnp.concatenate([t[None], t[None]], axis=0) if t.ndim == 0 \
+                else jnp.concatenate([t, t], axis=0)
+            ctx = jnp.concatenate([y_words, y_negative], axis=0)
+            img = jnp.concatenate(
+                [y_visual,
+                 zero_image if zero_image is not None else y_visual], axis=0)
+            li = jnp.concatenate([local_image, local_image], axis=0)
+            fps2 = jnp.concatenate([fps, fps], axis=0)
+            out = model.apply(unet_params, x2, t2, y=ctx, image=img,
+                              local_image=li, fps=fps2)
+            y_out, u_out = jnp.split(out, 2, axis=0)
+            return diffusion.classifier_free_guidance(y_out, u_out, guide_scale)
+
+        noise = jax.random.normal(knoise, (1, f, lat_h, lat_w, in_dim),
+                                  jnp.float32)
+        latents = diffusion.ddim_sample_loop(
+            ksample, noise, model_fn, ddim_timesteps=ddim_steps, eta=0.0)
+        latents = latents / scale_factor
+
+        lat_frames = latents[0]
+        lat_chunks = lat_frames.reshape(f // chunk, chunk, lat_h, lat_w, in_dim)
+        frames = jax.lax.map(
+            lambda z: autoencoder.module.apply(vae_params, z,
+                                               method="decode_latent"),
+            lat_chunks)
+        return frames.reshape(f, lat_h * 8, lat_w * 8, -1)
+
+    return generate
+
+
+@INFER_ENGINE.register_function()
+def inference_i2vgen_entrance(cfg_update, **kwargs):
+    cfg = merge_update(default_cfg(), cfg_update)
+    cfg = assign_signle_cfg(cfg, cfg_update, "vldm_cfg")
+    for k, v in (cfg_update or {}).items():
+        cfg[k] = v
+
+    exp_name = osp.basename(str(cfg.test_list_path)).split(".")[0]
+    save_dir = osp.join(str(cfg.log_dir), exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+    rank = jax.process_index()
+    setup_logging(save_dir, rank=rank)
+    key = setup_seed(int(cfg.seed) + rank)
+
+    from .infer_t2v import build_t2v_models
+    clip_encoder, autoencoder, model, unet_params, diffusion = \
+        build_t2v_models(cfg, key)
+    generate = make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion)
+
+    _, _, zero_y_negative = clip_encoder(text=[str(cfg.negative_prompt)])
+
+    with open(cfg.test_list_path) as fh:
+        test_list = [l.strip() for l in fh if l.strip()]
+    num_videos = len(test_list)
+    test_list = [item for item in test_list
+                 for _ in range(int(cfg.get("round", 1)))]
+
+    fps_tensor = jnp.asarray([int(cfg.target_fps)], jnp.int32)
+    outputs = []
+    for idx, line in enumerate(test_list):
+        if line.startswith("#"):
+            continue
+        if idx % jax.process_count() != rank:
+            continue
+        img_key, _, caption = line.partition("|||")
+        caption = caption.strip()
+        if not caption:
+            logger.info("caption is null for %s, skip", img_key)
+            continue
+        logger.info("[%d]/[%d] sampling %r + %r", idx, num_videos,
+                    img_key, caption)
+
+        image = Image.open(img_key.strip()).convert("RGB")
+        img_u8 = np.asarray(image)
+        # CLIP-space image (vit_trans, :186-189)
+        vit_img = T.vit_transform(img_u8, tuple(cfg.vit_resolution))
+        # VAE-space image (train_trans, :192)
+        vae_img = T.video_transform(img_u8[None], tuple(cfg.resolution),
+                                    cfg.mean, cfg.std)
+
+        y_visual, _, y_words = clip_encoder(image=jnp.asarray(vit_img)[None],
+                                            text=[caption])
+        logger.info("device memory used %.2f GB", device_memory_gb())
+
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        frames = generate(unet_params, autoencoder.params,
+                          jnp.asarray(vae_img), y_words, y_visual,
+                          zero_y_negative, fps_tensor, sub)
+        frames = jax.block_until_ready(frames)
+        dt = time.time() - t0
+
+        img_name = osp.splitext(osp.basename(img_key.strip()))[0]
+        cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")[:60]
+        path = osp.join(save_dir,
+                        f"rank{rank:02d}_{idx:04d}_{img_name}_{cap_name}.mp4")
+        written = save_video(np.asarray(frames), path,
+                             fps=int(cfg.target_fps), mean=cfg.mean,
+                             std=cfg.std)
+        logger.info("sampled in %.2fs -> %s", dt, written)
+        outputs.append(written)
+
+    logger.info("Congratulations! The inference is completed!")
+    return outputs

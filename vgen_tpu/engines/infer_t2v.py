@@ -60,7 +60,13 @@ def build_t2v_models(cfg, key):
     x0 = jnp.zeros((1, 2, lat_h, lat_w, cfg.UNet["in_dim"]))
     t0 = jnp.zeros((1,), jnp.int32)
     y0 = jnp.zeros((1, 77, cfg.UNet["context_dim"]))
-    unet_params = model.init(k3, x0, t0, y=y0)
+    init_kwargs = {}
+    if "I2VGen" in cfg.UNet["type"]:  # image-conditioned models need their
+        # condition inputs at init so all stems materialize
+        init_kwargs = dict(
+            local_image=jnp.zeros((1, 1, lat_h, lat_w, cfg.UNet["in_dim"])),
+            image=jnp.zeros((1, cfg.UNet.get("y_dim", 1024))))
+    unet_params = model.init(k3, x0, t0, y=y0, **init_kwargs)
 
     test_model = cfg.get("test_model")
     if test_model and os.path.exists(test_model):

@@ -5,4 +5,5 @@ from .clip import (CLIPModule, FrozenOpenCLIPEmbedder,
                    FrozenOpenCLIPEmbedderZero, FrozenOpenCLIPTextVisualEmbedder,
                    FrozenOpenCLIPVisualEmbedder, SimpleTokenizer,
                    clip_preprocess)
+from .unet_i2vgen import UNetSD_I2VGen, adaptive_avg_pool2d, build_unet_i2vgen
 from .unet_t2v import UNetSD_T2VBase, build_unet_t2v, filter_construct

@@ -395,11 +395,13 @@ class PreNormAttention(nn.Module):
 class TransformerV2(nn.Module):
     """Small pre-norm transformer used as a temporal condition encoder
     (I2VGen local-image stem, TF-T2V condition stems; reference
-    util.py:1423-1453)."""
+    util.py:1434-1453). Matches the reference exactly: pre-LN attention
+    with residual, then an UN-normalized GELU FF with residual."""
     heads: int = 8
     dim_head: int = 64
     depth: int = 1
-    dropout: float = 0.06
+    dropout_atte: float = 0.05
+    dropout_ffn: float = 0.05
     mlp_mult: int = 4
     deterministic: bool = True
     dtype: Optional[Dtype] = None
@@ -408,16 +410,15 @@ class TransformerV2(nn.Module):
     def __call__(self, x):
         det = self.deterministic
         for d in range(self.depth):
-            x = PreNormAttention(self.heads, self.dim_head, self.dropout,
+            x = PreNormAttention(self.heads, self.dim_head, self.dropout_atte,
                                  deterministic=det, dtype=self.dtype,
                                  name=f"attn_{d}")(x)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{d}")(x)
+            # reference FF has NO pre-norm (util.py:1447-1449)
             h = nn.Dense(x.shape[-1] * self.mlp_mult, dtype=self.dtype,
-                         name=f"ff_in_{d}")(h)
+                         name=f"ff_in_{d}")(x)
             h = nn.gelu(h)
-            h = nn.Dropout(self.dropout)(h, deterministic=det)
+            h = nn.Dropout(self.dropout_ffn)(h, deterministic=det)
             h = nn.Dense(x.shape[-1], dtype=self.dtype, name=f"ff_out_{d}")(h)
-            h = nn.Dropout(self.dropout)(h, deterministic=det)
             x = x + h
         return x
 

@@ -69,13 +69,31 @@ class UNetSD_T2VBase(nn.Module):
     dtype: Optional[Any] = None
 
     def setup(self):
+        self._setup_embeddings()
+        self._setup_backbone(self.in_dim)
+
+    def _setup_embeddings(self):
+        embed_dim = self.dim * 4
+        self.time_embed = TimestepEmbedding(embed_dim, dtype=self.dtype)
+        if self.use_fps_condition:
+            # zero-init output so the fps condition starts as a no-op
+            # (reference unet_t2v.py:98-104)
+            self.fps_embedding = TimestepEmbedding(
+                embed_dim, zero_init_out=True, dtype=self.dtype)
+
+    def _setup_backbone(self, in_channels: int):
+        """Shared encoder/middle/decoder/head (reference unet_t2v.py:110-208;
+        identical structure in unet_i2vgen.py:136-230 and others)."""
         embed_dim = self.dim * 4
         det = not self.training
         enc_dims = [self.dim * u for u in (1,) + tuple(self.dim_mult)]
         dec_dims = [self.dim * u
                     for u in (self.dim_mult[-1],) + tuple(self.dim_mult[::-1])]
 
-        RB = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        # frames is a static python int — keep it out of remat tracing
+        # (static_argnums counts self, so frames is arg 3)
+        RB = nn.remat(ResBlock, static_argnums=(3,)) \
+            if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
         TT = nn.remat(TemporalTransformer) if self.use_checkpoint else TemporalTransformer
 
@@ -94,13 +112,6 @@ class UNetSD_T2VBase(nn.Module):
                       use_scale_shift_norm=self.use_scale_shift_norm,
                       use_image_dataset=self.use_image_dataset,
                       deterministic=det, dtype=self.dtype)
-
-        self.time_embed = TimestepEmbedding(embed_dim, dtype=self.dtype)
-        if self.use_fps_condition:
-            # zero-init output so the fps condition starts as a no-op
-            # (reference unet_t2v.py:98-104)
-            self.fps_embedding = TimestepEmbedding(
-                embed_dim, zero_init_out=True, dtype=self.dtype)
 
         # ---- encoder (reference :110-151) --------------------------------
         blocks = []
@@ -199,6 +210,9 @@ class UNetSD_T2VBase(nn.Module):
         context = jnp.repeat(context, f, axis=0)  # [b*f, L, ctx]
 
         x = x.reshape(b * f, h, w, x.shape[-1])
+        return self._run_backbone(x, emb, context, b, f, h, w)
+
+    def _run_backbone(self, x, emb, context, b, f, h, w):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 

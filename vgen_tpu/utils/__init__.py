@@ -1,1 +1,1 @@
-from . import ckpt
+from . import ckpt, optim

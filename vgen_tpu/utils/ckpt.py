@@ -142,6 +142,38 @@ def translate_unet(segs: List[str]) -> Optional[str]:
             out.append(f"{s}.{0 if nxt == 'fc1' else 2}")
             i += 2
             continue
+        # I2VGen conditioning stems (unet_i2vgen.py naming)
+        if s == "context_embedding_fc1":
+            out.append("context_embedding.0"); i += 1; continue
+        if s == "context_embedding_fc2":
+            out.append("context_embedding.2"); i += 1; continue
+        m = re.fullmatch(r"local_image_concat_(\d)", s)
+        if m:  # Sequential(Conv,SiLU,Conv,SiLU,Conv) -> 0,2,4
+            out.append(f"local_image_concat.{int(m.group(1)) * 2}")
+            i += 1; continue
+        m = re.fullmatch(r"local_image_embedding_(\d)", s)
+        if m:  # Sequential(Conv,SiLU,Pool,Conv,SiLU,Conv) -> 0,3,5
+            out.append(f"local_image_embedding.{(0, 3, 5)[int(m.group(1))]}")
+            i += 1; continue
+        if s == "local_temporal_encoder":
+            out.append("local_temporal_encoder"); i += 1; continue
+        # TransformerV2 internals (blocks.TransformerV2 naming)
+        m = re.fullmatch(r"attn_(\d+)", s)
+        if m:
+            d = m.group(1)
+            nxt = segs[i + 1]
+            if nxt == "norm":
+                out.append(f"layers.{d}.0.norm"); i += 2; continue
+            if nxt == "to_qkv":
+                out.append(f"layers.{d}.0.fn.to_qkv"); i += 2; continue
+            if nxt == "to_out":
+                out.append(f"layers.{d}.0.fn.to_out.0"); i += 2; continue
+        m = re.fullmatch(r"ff_in_(\d+)", s)
+        if m:
+            out.append(f"layers.{m.group(1)}.1.net.0.0"); i += 1; continue
+        m = re.fullmatch(r"ff_out_(\d+)", s)
+        if m:
+            out.append(f"layers.{m.group(1)}.1.net.2"); i += 1; continue
         if s == "out_norm" and i == 0:
             out.append("out.0")
             i += 2  # skip GroupNorm32 inner 'norm'
