@@ -39,9 +39,10 @@ def main():
         "decoder_bs": 8,
     })
     cfg.UNet = dict(cfg.UNet, type="UNetSD_T2VBase", out_dim=4)
+    dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
 
-    model = MODEL.build(dict(cfg.UNet))
-    autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder))
+    model = MODEL.build(dict(cfg.UNet), dtype=dtype)
+    autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder), dtype=dtype)
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
 
     key = jax.random.PRNGKey(0)

@@ -1,1 +1,1 @@
-from . import hooks, infer_i2vgen, infer_t2v, pretrain, train_t2v
+from . import hooks, infer_i2vgen, infer_sr600, infer_t2v, pretrain, train_t2v

@@ -1,0 +1,200 @@
+"""inference_sr600_entrance — 1280x720 video super-resolution.
+
+TPU-native re-implementation of the reference SR engine
+(reference: tools/inferences/inference_sr600_entrance.py:139-311).
+SDEdit-style two-pass: read the low-res stage-1 mp4, bilinear-resize
+frames to 720p (:117), VAE-encode in chunks (:126-134), DDIM-reverse the
+latents to noise level ``total_noise_levels`` (700, 30 steps, :256-266),
+then re-denoise with DPM-Solver++ 2M SDE (30 steps, guide 9.0, rescale
+0.3, trailing discretization, :269-280), decode and save.
+
+TPU redesign: the reverse loop + SDE solve + decode compile into one
+program (two scans); CFG with guidance rescale batches cond/uncond into
+a single UNet call via ``guided_out``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import re
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core import (AUTO_ENCODER, DIFFUSION, EMBEDDER, INFER_ENGINE, MODEL,
+                    assign_signle_cfg, default_cfg, merge_update,
+                    setup_logging, setup_seed)
+from ..data import transforms as T
+from ..data.video_io import read_video_frames, save_video
+from ..diffusion.gauss import guided_out
+from ..utils.ckpt import load_model_weights
+
+logger = logging.getLogger(__name__)
+
+
+def load_lowres_latent_fn(cfg, autoencoder):
+    """VAE-encode resized frames in chunks, one jitted program
+    (reference load_video_frames + chunked encode, :95-134)."""
+    chunk = int(cfg.chunk_size)
+    scale_factor = float(cfg.scale_factor)
+
+    @jax.jit
+    def encode(vae_params, frames, key):
+        from ..models.autoencoder import DiagonalGaussianDistribution
+        f, h, w, c = frames.shape
+        cs = chunk if f % chunk == 0 else f
+        chunks = frames.reshape(f // cs, cs, h, w, c)
+        moments = jax.lax.map(
+            lambda x: autoencoder.module.apply(vae_params, x,
+                                               method="encode_moments"),
+            chunks).reshape(f, h // 8, w // 8, -1)
+        z = DiagonalGaussianDistribution(moments).sample(key) * scale_factor
+        return z[None]  # [1, f, lh, lw, 4]
+
+    return encode
+
+
+def make_sr_fn(cfg, model, autoencoder, diffusion):
+    """renoise -> dpmpp solve -> decode, one jitted program."""
+    total_noise_levels = int(cfg.get("total_noise_levels", 700))
+    guide_scale = 9.0
+    guide_rescale = 0.3
+    decoder_bs = int(cfg.get("decoder_bs", 4))
+    scale_factor = float(cfg.scale_factor)
+
+    @jax.jit
+    def super_resolve(unet_params, vae_params, latents, y_words, zero_y, key):
+        b, f, lh, lw, c = latents.shape
+
+        def uncond_fn(xt, t):
+            return model.apply(unet_params, xt, t, y=jnp.broadcast_to(
+                zero_y, (xt.shape[0],) + zero_y.shape[1:]))
+
+        # pass 1: deterministic DDIM inversion to level 700 (:256-266)
+        noised = diffusion.reverse_diffusion.ddim_reverse_sample_loop(
+            latents, uncond_fn, ddim_timesteps=30,
+            reverse_steps=total_noise_levels)
+
+        def guided_fn(xt, t):
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx = jnp.concatenate(
+                [jnp.broadcast_to(y_words, (b,) + y_words.shape[1:]),
+                 jnp.broadcast_to(zero_y, (b,) + zero_y.shape[1:])], axis=0)
+            out = model.apply(unet_params, x2, t2, y=ctx)
+            y_out, u_out = jnp.split(out, 2, axis=0)
+            return guided_out(y_out, u_out, guide_scale, guide_rescale)
+
+        # pass 2: DPM-Solver++ 2M SDE from level 699 (:269-280)
+        video = diffusion.forward_diffusion.sample(
+            key, noised, guided_fn, solver="dpmpp_2m_sde", steps=30,
+            t_max=total_noise_levels - 1, t_min=0, discretization="trailing")
+        video = video / scale_factor
+
+        lat = video[0]
+        cs = decoder_bs if f % decoder_bs == 0 else f
+        chunks = lat.reshape(f // cs, cs, lh, lw, c)
+        frames = jax.lax.map(
+            lambda z: autoencoder.module.apply(vae_params, z,
+                                               method="decode_latent"),
+            chunks)
+        return frames.reshape(f, lh * 8, lw * 8, -1)
+
+    return super_resolve
+
+
+@INFER_ENGINE.register_function()
+def inference_sr600_entrance(cfg_update, **kwargs):
+    cfg = merge_update(default_cfg(), cfg_update)
+    cfg = assign_signle_cfg(cfg, cfg_update, "vldm_cfg")
+    for k, v in (cfg_update or {}).items():
+        cfg[k] = v
+
+    save_dir = osp.join(str(cfg.log_dir), "sr600")
+    os.makedirs(save_dir, exist_ok=True)
+    rank = jax.process_index()
+    setup_logging(save_dir, rank=rank)
+    key = setup_seed(int(cfg.seed) + rank)
+
+    from .infer_t2v import build_t2v_models
+    clip_encoder, autoencoder, model, unet_params, diffusion = \
+        build_t2v_models(cfg, key)
+    encode_lowres = load_lowres_latent_fn(cfg, autoencoder)
+    super_resolve = make_sr_fn(cfg, model, autoencoder, diffusion)
+
+    # SR prompting: negative suffix as uncond, positive suffix appended
+    # (reference :191, :238; configs/sr600_infer.yaml:16-17)
+    negative = cfg.embedder.get("negative_prompt", cfg.negative_prompt)
+    positive = cfg.embedder.get("positive_prompt", "")
+    _, _, zero_y = clip_encoder(text=[str(negative)])
+
+    with open(cfg.test_list_path) as fh:
+        test_list = [l.strip() for l in fh if l.strip()]
+    test_list = [item for item in test_list
+                 for _ in range(int(cfg.get("round", 1)))]
+
+    target_h = int(cfg.get("sr_resolution", [1280, 720])[1])
+    target_w = int(cfg.get("sr_resolution", [1280, 720])[0])
+    double_frames = bool(cfg.get("double_frames_sr", False))
+
+    outputs = []
+    for idx, line in enumerate(test_list):
+        if line.startswith("#"):
+            continue
+        if idx % jax.process_count() != rank:
+            continue
+        caption, _, seed_str = line.partition("|")
+        caption = caption.strip()
+        if not caption:
+            continue
+        # low-res input: the stage-1 output for this caption (reference
+        # derives the path from the caption, :242-245); allow explicit
+        # "caption|||path" too
+        if "|||" in line:
+            caption, _, src = line.partition("|||")
+            src = src.strip()
+        else:
+            cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")
+            src = osp.join(str(cfg.get("lowres_dir", cfg.log_dir)),
+                           f"{cap_name}.mp4")
+        if not osp.exists(src):
+            logger.warning("low-res input %s missing — skip", src)
+            continue
+        logger.info("[%d] super-resolving %s", idx, src)
+
+        frames_u8 = read_video_frames(src)
+        if double_frames:  # x2 frames by repetition (reference :105-110)
+            frames_u8 = np.repeat(frames_u8, 2, axis=0)
+        # bilinear resize to 720p + normalize (reference :117)
+        frames = np.stack([
+            np.asarray(Image.fromarray(fr).resize((target_w, target_h),
+                                                  Image.BILINEAR))
+            for fr in frames_u8])
+        frames = T.normalize(T.to_tensor(frames), cfg.mean, cfg.std)
+
+        _, _, y_words = clip_encoder(text=[caption + positive])
+
+        key, k1, k2 = jax.random.split(key, 3)
+        t0 = time.time()
+        latents = encode_lowres(autoencoder.params, jnp.asarray(frames), k1)
+        hi = super_resolve(unet_params, autoencoder.params, latents,
+                           y_words, zero_y, k2)
+        hi = jax.block_until_ready(hi)
+        dt = time.time() - t0
+        if double_frames:
+            hi = hi[::2]
+
+        out_path = osp.join(save_dir, f"rank{rank:02d}_{idx:04d}_sr600.mp4")
+        written = save_video(np.asarray(hi), out_path,
+                             fps=int(cfg.get("target_fps", 8)),
+                             mean=cfg.mean, std=cfg.std)
+        logger.info("super-resolved in %.2fs -> %s", dt, written)
+        outputs.append(written)
+
+    logger.info("Congratulations! The inference is completed!")
+    return outputs

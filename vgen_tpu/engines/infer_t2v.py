@@ -47,14 +47,17 @@ def build_t2v_models(cfg, key):
     the pipeline stays runnable for smoke tests and benchmarks.
     """
     k1, k2, k3 = jax.random.split(key, 3)
+    # use_fp16 in the reference selects fp16 autocast; on TPU it selects
+    # bf16 compute (f32 params) — no GradScaler needed (SURVEY §2.9)
+    dtype = jnp.bfloat16 if cfg.get("use_fp16") else None
 
-    clip_encoder = EMBEDDER.build(dict(cfg.embedder))
+    clip_encoder = EMBEDDER.build(dict(cfg.embedder), dtype=dtype)
     clip_encoder.init_random(k1)
 
-    autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder))
+    autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder), dtype=dtype)
     autoencoder.init_random(k2, image_size=64)
 
-    model = MODEL.build(dict(cfg.UNet))
+    model = MODEL.build(dict(cfg.UNet), dtype=dtype)
     lat_h = int(cfg.resolution[1]) // int(cfg.get("scale", 8))
     lat_w = int(cfg.resolution[0]) // int(cfg.get("scale", 8))
     x0 = jnp.zeros((1, 2, lat_h, lat_w, cfg.UNet["in_dim"]))

@@ -355,14 +355,18 @@ class Upsample(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Stride-2 3x3 conv (reference util.py:929-970). [N, H, W, C]."""
+    """Stride-2 3x3 conv (reference util.py:929-970). [N, H, W, C].
+    ``pad_h_extra``: SR600 passes padding=(2,1) so H gains one row, which
+    its trimming upsampler later removes (unet_sr600.py:152,206)."""
     out_channels: Optional[int] = None
+    pad_h_extra: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        pad = ((2, 2), (1, 1)) if self.pad_h_extra else 1
         return nn.Conv(self.out_channels or x.shape[-1], (3, 3),
-                       strides=(2, 2), padding=1, dtype=self.dtype,
+                       strides=(2, 2), padding=pad, dtype=self.dtype,
                        name="conv")(x)
 
 

@@ -65,6 +65,8 @@ class UNetSD_T2VBase(nn.Module):
     use_sim_mask: bool = False
     use_fps_condition: bool = False
     default_fps: int = 8
+    upsample_trim: bool = False  # SR600 trims rows after nearest-2x
+    downsample_pad_h: bool = False  # SR600 pads H by 2 when downsampling
     training: bool = False
     dtype: Optional[Any] = None
 
@@ -108,8 +110,12 @@ class UNetSD_T2VBase(nn.Module):
                       deterministic=det, dtype=self.dtype)
 
         def resblock(ch):
+            # the reference constructs every ResBlock with
+            # use_scale_shift_norm=False regardless of the config flag
+            # (e.g. unet_t2v.py:124, unet_sr600.py:129) — match it for
+            # released-weight compatibility; the field stays for API parity
             return RB(out_channels=ch, dropout=self.dropout,
-                      use_scale_shift_norm=self.use_scale_shift_norm,
+                      use_scale_shift_norm=False,
                       use_image_dataset=self.use_image_dataset,
                       deterministic=det, dtype=self.dtype)
 
@@ -134,7 +140,9 @@ class UNetSD_T2VBase(nn.Module):
                 blocks.append(block)
                 shortcut_dims.append(out_ch)
                 if i != len(self.dim_mult) - 1 and j == self.num_res_blocks - 1:
-                    blocks.append([Downsample(out_ch, dtype=self.dtype)])
+                    blocks.append([Downsample(
+                        out_ch, pad_h_extra=self.downsample_pad_h,
+                        dtype=self.dtype)])
                     shortcut_dims.append(out_ch)
                     scale /= 2.0
         self.input_blocks = blocks
@@ -159,7 +167,8 @@ class UNetSD_T2VBase(nn.Module):
                     if self.temporal_attention:
                         block.append(temporal(out_ch))
                 if i != len(self.dim_mult) - 1 and j == self.num_res_blocks:
-                    block.append(Upsample(out_ch, dtype=self.dtype))
+                    block.append(Upsample(out_ch, trim_lr=self.upsample_trim,
+                                          dtype=self.dtype))
                     scale_d *= 2.0
                 out_blocks.append(block)
         self.output_blocks = out_blocks
@@ -212,7 +221,10 @@ class UNetSD_T2VBase(nn.Module):
         x = x.reshape(b * f, h, w, x.shape[-1])
         return self._run_backbone(x, emb, context, b, f, h, w)
 
-    def _run_backbone(self, x, emb, context, b, f, h, w):
+    def _run_backbone(self, x, emb, context, b, f, h, w, skip_hook=None):
+        """skip_hook(idx, x, skip) -> (x, skip): per-decoder-block transform
+        of the trunk and the popped skip before concatenation (SR600's
+        FreeU-style boosts, unet_sr600.py:276-290)."""
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
@@ -225,8 +237,11 @@ class UNetSD_T2VBase(nn.Module):
         for m in self.middle_block:
             x = self._forward_single(m, x, emb, context, f)
 
-        for block in self.output_blocks:
-            x = jnp.concatenate([x, xs.pop()], axis=-1)
+        for idx, block in enumerate(self.output_blocks):
+            skip = xs.pop()
+            if skip_hook is not None:
+                x, skip = skip_hook(idx, x, skip)
+            x = jnp.concatenate([x, skip], axis=-1)
             for m in block:
                 x = self._forward_single(m, x, emb, context, f)
 
