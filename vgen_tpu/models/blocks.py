@@ -220,6 +220,7 @@ class TemporalTransformer(nn.Module):
     depth: int = 1
     dropout: float = 0.0
     multiply_zero: bool = False
+    zero_if_single_frame: bool = False  # HiGen WoImg variant (unet_higen.py:88+)
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
@@ -240,7 +241,7 @@ class TemporalTransformer(nn.Module):
         x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
                      dtype=self.dtype, name="proj_out")(x)
         x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        if self.multiply_zero:
+        if self.multiply_zero or (self.zero_if_single_frame and f == 1):
             return x_in + 0.0 * x
         return x_in + x
 
@@ -252,6 +253,7 @@ class TemporalConvBlock(nn.Module):
     XLA:TPU lowers it to an MXU-friendly contraction over the frame axis."""
     dropout: float = 0.0
     use_image_dataset: bool = False
+    zero_if_single_frame: bool = False  # HiGen WoImg (unet_higen.py:70-86)
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
@@ -274,7 +276,8 @@ class TemporalConvBlock(nn.Module):
         x = gn_silu_conv(x, "conv2")
         x = gn_silu_conv(x, "conv3")
         x = gn_silu_conv(x, "conv4", zero=True)
-        if self.use_image_dataset:
+        if self.use_image_dataset or (self.zero_if_single_frame
+                                      and x.shape[1] == 1):
             return identity + 0.0 * x
         return identity + x
 
@@ -289,6 +292,7 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     use_temporal_conv: bool = True
     use_image_dataset: bool = False
+    zero_if_single_frame: bool = False
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
@@ -329,6 +333,7 @@ class ResBlock(nn.Module):
             v = h.reshape(n // frames, frames, hh, ww, cc)
             v = TemporalConvBlock(dropout=0.1,
                                   use_image_dataset=self.use_image_dataset,
+                                  zero_if_single_frame=self.zero_if_single_frame,
                                   deterministic=self.deterministic,
                                   dtype=self.dtype, name="temporal_conv")(v)
             h = v.reshape(n, hh, ww, cc)

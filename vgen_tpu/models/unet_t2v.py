@@ -67,6 +67,7 @@ class UNetSD_T2VBase(nn.Module):
     default_fps: int = 8
     upsample_trim: bool = False  # SR600 trims rows after nearest-2x
     downsample_pad_h: bool = False  # SR600 pads H by 2 when downsampling
+    wo_img: bool = False  # HiGen: temporal blocks no-op on 1-frame input
     training: bool = False
     dtype: Optional[Any] = None
 
@@ -107,6 +108,7 @@ class UNetSD_T2VBase(nn.Module):
             return TT(heads=heads or ch // self.head_dim,
                       dim_head=self.head_dim, depth=1,
                       multiply_zero=self.use_image_dataset,
+                      zero_if_single_frame=self.wo_img,
                       deterministic=det, dtype=self.dtype)
 
         def resblock(ch):
@@ -117,6 +119,7 @@ class UNetSD_T2VBase(nn.Module):
             return RB(out_channels=ch, dropout=self.dropout,
                       use_scale_shift_norm=False,
                       use_image_dataset=self.use_image_dataset,
+                      zero_if_single_frame=self.wo_img,
                       deterministic=det, dtype=self.dtype)
 
         # ---- encoder (reference :110-151) --------------------------------

@@ -137,9 +137,23 @@ def translate_unet(segs: List[str]) -> Optional[str]:
             out.append(f"{base}.{a}" + (f".{b}" if b is not None else ""))
             i += 1
             continue
-        if s in ("time_embed", "fps_embedding"):
+        if s in ("time_embed", "fps_embedding", "asim_embedding",
+                 "msim_embedding"):
             nxt = segs[i + 1]
             out.append(f"{s}.{0 if nxt == 'fc1' else 2}")
+            i += 2
+            continue
+        # HiGen context transformer (unet_higen.py:154-173)
+        if s == "context_embedding" and i + 1 < n and segs[i + 1] in (
+                "input_mapping", "output_mapping", "tokens") or (
+                s == "context_embedding" and i + 1 < n
+                and segs[i + 1].startswith("block_")):
+            nxt = segs[i + 1]
+            if nxt.startswith("block_"):
+                d = nxt.split("_")[1]
+                out.append(f"context_embedding.context_transformer.{d}")
+            else:
+                out.append(f"context_embedding.{nxt}")
             i += 2
             continue
         # I2VGen conditioning stems (unet_i2vgen.py naming)
@@ -157,6 +171,39 @@ def translate_unet(segs: List[str]) -> Optional[str]:
             i += 1; continue
         if s == "local_temporal_encoder":
             out.append("local_temporal_encoder"); i += 1; continue
+        # TFT2V/VideoComposer condition stems (unet_tf2tv.py:291-381)
+        m = re.fullmatch(r"stem_(\w+)", s)
+        if m:
+            comp = m.group(1)
+            prefix = {"depthmap": "depth_embedding",
+                      "mask": "masked_embedding"}.get(comp,
+                                                      f"{comp}_embedding")
+            nxt = segs[i + 1]
+            if nxt in ("conv1", "conv2", "conv3"):
+                idx = {"conv1": 0, "conv2": 3, "conv3": 5}[nxt]
+                out.append(f"{prefix}.{idx}")
+                i += 2
+                continue
+            if nxt == "after":
+                # mask stem's temporal encoder is named mask_embedding_after
+                after = {"mask": "mask_embedding_after"}.get(
+                    comp, f"{prefix}_after")
+                out.append(after)
+                i += 2
+                continue
+        if s == "pre_image_fc1":
+            out.append("pre_image_condition.0"); i += 1; continue
+        if s == "pre_image_fc2":
+            out.append("pre_image_condition.2"); i += 1; continue
+        if s == "hist_fc1":
+            out.append("hist_context_embedding.0"); i += 1; continue
+        if s == "hist_fc2":
+            out.append("hist_context_embedding.2"); i += 1; continue
+        if s == "guidance_embedding":
+            nxt = segs[i + 1]
+            out.append(f"guidance_embedding.{0 if nxt == 'fc1' else 2}")
+            i += 2
+            continue
         # TransformerV2 internals (blocks.TransformerV2 naming)
         m = re.fullmatch(r"attn_(\d+)", s)
         if m:
