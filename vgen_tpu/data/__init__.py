@@ -1,1 +1,1 @@
-from . import video_io
+from . import annotators, datasets, transforms, video_io

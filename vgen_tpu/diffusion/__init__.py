@@ -1,5 +1,6 @@
 from . import schedules
 from .ddim import DiffusionDDIM, DiffusionDDIMSR
+from .reward_ddim import DiffusionDDIMReward, GaussianDiffusionReward
 from .gauss import GaussianDiffusion, guided_out, sample_dpmpp_2m_sde
 from .lcm import (DDIMSolver, LCMScheduler, guidance_scale_embedding,
                   predicted_origin, scalings_for_boundary_conditions)

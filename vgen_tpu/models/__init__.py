@@ -1,10 +1,18 @@
 from . import blocks
 from .autoencoder import (AutoencoderKL, AutoencoderVideo,
                           DiagonalGaussianDistribution, IdentityFirstStage)
-from .clip import (CLIPModule, FrozenOpenCLIPEmbedder,
+from .adapters import (Adapter, BasicTransformerBlockWithAdapter,
+                       SpatialTransformerWithAdapter,
+                       TemporalTransformerWithAdapter)
+from .clip import (CLIPModule, FrozenOpenCLIPCustomEmbedder,
+                   FrozenOpenCLIPEmbedder,
                    FrozenOpenCLIPEmbedderZero, FrozenOpenCLIPTextVisualEmbedder,
                    FrozenOpenCLIPVisualEmbedder, SimpleTokenizer,
                    clip_preprocess)
+from .embedding_manager import EmbeddingManager
+from .reward import (DDPORewardModel, DiffRewardModel, PerPromptStatTracker,
+                     RWRRewardModel)
+from .unet_dreamvideo import UNetSD_DreamVideo, build_unet_dreamvideo
 from .unet_higen import TextContextCrossTransformer, UNetSD_HiGen, build_unet_higen
 from .unet_i2vgen import UNetSD_I2VGen, adaptive_avg_pool2d, build_unet_i2vgen
 from .unet_sr600 import UNetSD_SR600, build_unet_sr600, fourier_filter

@@ -121,13 +121,38 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim_out or dim, dtype=self.dtype, name="fc_out")(h)
 
 
+class LoRA(nn.Module):
+    """Low-rank branch: down (init std 1/rank) -> up (zero-init)
+    (reference unet_lora.py:114-131)."""
+    rank: int
+    out_dim: int
+    alpha: Optional[float] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.rank, use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(1.0 / self.rank),
+                     name="down_linear")(x)
+        h = nn.Dense(self.out_dim, use_bias=False, kernel_init=zeros_init,
+                     dtype=self.dtype, name="up_linear")(h)
+        if self.alpha is not None:
+            h = h * (self.alpha / self.rank)
+        return h
+
+
 class CrossAttention(nn.Module):
     """q/k/v projections + fused attention (replaces the reference's
     MemoryEfficientCrossAttention, util.py:213-269). Self-attention when
-    no context is passed."""
+    no context is passed. With ``use_lora`` each projection gains a
+    parallel zero-init LoRA branch (the reference duplicates the whole
+    block library for this, unet_lora.py:134-195 — here it's a flag)."""
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    use_lora: bool = False
+    lora_rank: int = 4
+    lora_alpha: Optional[float] = None
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
@@ -138,6 +163,12 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if self.use_lora:
+            lora = lambda name: LoRA(self.lora_rank, inner, self.lora_alpha,
+                                     dtype=self.dtype, name=name)
+            q = q + lora("to_q_lora")(x)
+            k = k + lora("to_k_lora")(ctx)
+            v = v + lora("to_v_lora")(ctx)
 
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
@@ -145,8 +176,11 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.heads, self.dim_head)
         v = v.reshape(b, sk, self.heads, self.dim_head)
         o = attention(q, k, v).reshape(b, sq, inner)
-        o = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
-        return nn.Dropout(self.dropout)(o, deterministic=self.deterministic)
+        out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
+        if self.use_lora:
+            out = out + LoRA(self.lora_rank, x.shape[-1], self.lora_alpha,
+                             dtype=self.dtype, name="to_out_lora")(o)
+        return nn.Dropout(self.dropout)(out, deterministic=self.deterministic)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -157,22 +191,27 @@ class BasicTransformerBlock(nn.Module):
     dropout: float = 0.0
     has_cross: bool = True
     disable_self_attn: bool = False
+    use_lora: bool = False
+    lora_rank: int = 4
+    lora_alpha: Optional[float] = None
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, context=None):
         det = self.deterministic
+        lora_kw = dict(use_lora=self.use_lora, lora_rank=self.lora_rank,
+                       lora_alpha=self.lora_alpha)
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.heads, self.dim_head, self.dropout,
                                deterministic=det, dtype=self.dtype,
-                               name="attn1")(
+                               name="attn1", **lora_kw)(
             h, context=context if self.disable_self_attn else None)
         if self.has_cross:
             h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
             x = x + CrossAttention(self.heads, self.dim_head, self.dropout,
                                    deterministic=det, dtype=self.dtype,
-                                   name="attn2")(h, context=context)
+                                   name="attn2", **lora_kw)(h, context=context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(dropout=self.dropout, deterministic=det,
                             dtype=self.dtype, name="ff")(h)
@@ -188,6 +227,9 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dropout: float = 0.0
     disable_self_attn: bool = False
+    use_lora: bool = False
+    lora_rank: int = 4
+    lora_alpha: Optional[float] = None
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
@@ -203,6 +245,8 @@ class SpatialTransformer(nn.Module):
             x = BasicTransformerBlock(
                 self.heads, self.dim_head, self.dropout,
                 disable_self_attn=self.disable_self_attn,
+                use_lora=self.use_lora, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
                 deterministic=self.deterministic, dtype=self.dtype,
                 name=f"block_{d}")(x, context)
         x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
@@ -221,6 +265,9 @@ class TemporalTransformer(nn.Module):
     dropout: float = 0.0
     multiply_zero: bool = False
     zero_if_single_frame: bool = False  # HiGen WoImg variant (unet_higen.py:88+)
+    use_lora: bool = False
+    lora_rank: int = 4
+    lora_alpha: Optional[float] = None
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
@@ -236,6 +283,8 @@ class TemporalTransformer(nn.Module):
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads, self.dim_head, self.dropout, has_cross=True,
+                use_lora=self.use_lora, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
                 deterministic=self.deterministic, dtype=self.dtype,
                 name=f"block_{d}")(x, None)
         x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,

@@ -251,6 +251,11 @@ class TextTransformer(nn.Module):
             x = r(x, mask)
         return self.ln_final(x)
 
+    def token_embed(self, tokens):
+        """Raw token embeddings (pre-positional) — the hook point for
+        textual inversion (reference clip_embedder.py:347-357)."""
+        return self.token_embedding(tokens)
+
     def pooled(self, tokens, skip_last: int = 0):
         """(pooled [b, embed_dim], token features [b, ctx, width]):
         eot-position feature through text_projection (reference
@@ -326,6 +331,14 @@ class CLIPModule(nn.Module):
 
     def encode_image(self, images):
         return self.visual(images)
+
+    def embed_tokens(self, tokens):
+        return self.text.token_embed(tokens)
+
+    def encode_text_hidden_override(self, token_override, tokens,
+                                    skip_last=0):
+        return self.text.hidden(tokens, skip_last,
+                                token_override=token_override)
 
     def __call__(self, tokens, images):  # for init
         return (self.text.pooled(tokens)[0],
@@ -425,6 +438,26 @@ class FrozenOpenCLIPTextVisualEmbedder(_FrozenCLIPBase):
             xt, x = self.module.apply(self.params, tokens, self.layer_idx,
                                       method="encode_text_pooled")
         return xi, xt, x
+
+    encode = __call__
+
+
+@EMBEDDER.register_class()
+class FrozenOpenCLIPCustomEmbedder(_FrozenCLIPBase):
+    """Text embedder with an embedding_manager hook applied to the token
+    embeddings before the positional embedding (textual inversion;
+    reference clip_embedder.py:305-370)."""
+
+    def __call__(self, text, embedding_manager=None, manager_params=None):
+        tokens = self._tokens(text)
+        tok_emb = self.module.apply(self.params, tokens,
+                                    method="embed_tokens")
+        if embedding_manager is not None:
+            tok_emb = embedding_manager.apply(
+                manager_params or embedding_manager.params, tokens, tok_emb)
+        return self.module.apply(self.params, tok_emb, tokens,
+                                 self.layer_idx,
+                                 method="encode_text_hidden_override")
 
     encode = __call__
 

@@ -68,6 +68,9 @@ class UNetSD_T2VBase(nn.Module):
     upsample_trim: bool = False  # SR600 trims rows after nearest-2x
     downsample_pad_h: bool = False  # SR600 pads H by 2 when downsampling
     wo_img: bool = False  # HiGen: temporal blocks no-op on 1-frame input
+    use_lora: bool = False
+    lora_rank: int = 4
+    lora_alpha: Optional[float] = None
     training: bool = False
     dtype: Optional[Any] = None
 
@@ -102,13 +105,17 @@ class UNetSD_T2VBase(nn.Module):
 
         def spatial(ch):
             return ST(heads=ch // self.head_dim, dim_head=self.head_dim,
-                      depth=1, deterministic=det, dtype=self.dtype)
+                      depth=1, use_lora=self.use_lora,
+                      lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                      deterministic=det, dtype=self.dtype)
 
         def temporal(ch, heads=None):
             return TT(heads=heads or ch // self.head_dim,
                       dim_head=self.head_dim, depth=1,
                       multiply_zero=self.use_image_dataset,
                       zero_if_single_frame=self.wo_img,
+                      use_lora=self.use_lora, lora_rank=self.lora_rank,
+                      lora_alpha=self.lora_alpha,
                       deterministic=det, dtype=self.dtype)
 
         def resblock(ch):
@@ -254,4 +261,15 @@ class UNetSD_T2VBase(nn.Module):
 
 @MODEL.register_function("UNetSD_T2VBase")
 def build_unet_t2v(**cfg):
+    return filter_construct(UNetSD_T2VBase, cfg)
+
+
+@MODEL.register_function("UNetSD_LoRA")
+def build_unet_lora(**cfg):
+    """InstructVideo's LoRA UNet (reference unet_lora.py:1090+): the T2V
+    architecture with zero-init LoRA branches on every attention q/k/v/out.
+    The reference duplicates the whole block library; here it's the same
+    backbone with use_lora=True."""
+    cfg.setdefault("use_lora", True)
+    cfg.setdefault("lora_rank", 4)
     return filter_construct(UNetSD_T2VBase, cfg)
