@@ -39,6 +39,44 @@ from ..utils.ckpt import load_model_weights
 logger = logging.getLogger(__name__)
 
 
+def model_init_kwargs(cfg, lat_h: int, lat_w: int, frames: int = 2) -> dict:
+    """Condition inputs each model family needs at init so every stem's
+    parameters materialize (flax creates params lazily on first use)."""
+    utype = cfg.UNet["type"]
+    in_dim = cfg.UNet["in_dim"]
+    kw = {}
+    if "I2VGen" in utype:
+        kw = dict(local_image=jnp.zeros((1, 1, lat_h, lat_w, in_dim)),
+                  image=jnp.zeros((1, cfg.UNet.get("y_dim", 1024))))
+    elif "HiGen" in utype:
+        kw = dict(spat_prior=jnp.zeros((1, lat_h, lat_w, in_dim)),
+                  motion_cond=jnp.zeros((1, frames), jnp.int32),
+                  appearance_cond=jnp.zeros((1, frames, 32)))
+    elif "DreamVideo" in utype:
+        cd = cfg.UNet.get("temporal_adapter_condition_dim")
+        if cd:
+            kw = dict(adapter_condition=jnp.zeros((1, cd)))
+    elif "TFT2V" in utype or "VideoLCM" in utype:
+        comps = cfg.UNet.get("video_compositions",
+                             cfg.get("video_compositions", []))
+        px = (1, frames, int(cfg.resolution[1]), int(cfg.resolution[0]))
+        chans = {"depthmap": ("depth", 1), "motion": ("motion", 2),
+                 "canny": ("canny", 1), "mask": ("masked", 4),
+                 "sketch": ("sketch", 1), "single_sketch": ("single_sketch", 1),
+                 "local_image": ("local_image", 3)}
+        for comp, (arg, c) in chans.items():
+            if comp in comps:
+                kw[arg] = jnp.zeros(px + (c,))
+        if "image" in comps:
+            kw["image"] = jnp.zeros((1, 1, cfg.UNet.get("context_dim", 1024)))
+        if "histogram" in comps:
+            kw["histogram"] = jnp.zeros((1, frames,
+                                         cfg.UNet.get("hist_dim", 156)))
+        if "VideoLCM" in utype:
+            kw["t_w"] = jnp.zeros((1, cfg.UNet.get("dim", 320)))
+    return kw
+
+
 def build_t2v_models(cfg, key):
     """Build + initialize (CLIP, VAE, UNet module, UNet params, diffusion).
 
@@ -63,12 +101,7 @@ def build_t2v_models(cfg, key):
     x0 = jnp.zeros((1, 2, lat_h, lat_w, cfg.UNet["in_dim"]))
     t0 = jnp.zeros((1,), jnp.int32)
     y0 = jnp.zeros((1, 77, cfg.UNet["context_dim"]))
-    init_kwargs = {}
-    if "I2VGen" in cfg.UNet["type"]:  # image-conditioned models need their
-        # condition inputs at init so all stems materialize
-        init_kwargs = dict(
-            local_image=jnp.zeros((1, 1, lat_h, lat_w, cfg.UNet["in_dim"])),
-            image=jnp.zeros((1, cfg.UNet.get("y_dim", 1024))))
+    init_kwargs = model_init_kwargs(cfg, lat_h, lat_w, frames=2)
     unet_params = model.init(k3, x0, t0, y=y0, **init_kwargs)
 
     test_model = cfg.get("test_model")

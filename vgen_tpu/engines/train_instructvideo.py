@@ -108,8 +108,8 @@ def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
         def loss_fn(params):
             def model_fn(xt, tt):
                 x2 = jnp.concatenate([xt, xt], axis=0)
-                t2 = jnp.concatenate([tt[None], tt[None]]) if tt.ndim == 0 \
-                    else jnp.concatenate([tt, tt])
+                tb = jnp.broadcast_to(tt, (xt.shape[0],))  # scan passes scalar t
+                t2 = jnp.concatenate([tb, tb])
                 ctx = jnp.concatenate(
                     [y_words,
                      jnp.broadcast_to(zero_y[:1], y_words.shape)], axis=0)

@@ -58,7 +58,10 @@ def _build_models(cfg, key, frames_example: int):
     x0 = jnp.zeros((1, frames_example, lat_h, lat_w, cfg.UNet["in_dim"]))
     t0 = jnp.zeros((1,), jnp.int32)
     y0 = jnp.zeros((1, 77, cfg.UNet["context_dim"]))
-    params = model.init(k3, x0, t0, y=y0)
+    from .infer_t2v import model_init_kwargs
+    init_kwargs = model_init_kwargs(cfg, lat_h, lat_w, frames=frames_example)
+    params = model.init({"params": k3, "dropout": k3}, x0, t0, y=y0,
+                        **init_kwargs)
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
     return clip_encoder, autoencoder, model, params, diffusion
 

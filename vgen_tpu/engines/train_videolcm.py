@@ -41,6 +41,10 @@ logger = logging.getLogger(__name__)
 
 def make_lcm_train_step(cfg, model, diffusion, solver, optimizer):
     """One fused consistency-distillation step."""
+    import dataclasses
+    # teacher/target run in eval mode (no dropout rng needed)
+    model_eval = dataclasses.replace(model, training=False) \
+        if getattr(model, "training", False) else model
     num_T = diffusion.num_timesteps
     ddim_steps = int(cfg.get("ddim_timesteps", 50))
     topk = num_T // ddim_steps
@@ -85,8 +89,8 @@ def make_lcm_train_step(cfg, model, diffusion, solver, optimizer):
             model_pred = c_skip_s * noisy + c_out_s * px0
 
             # teacher CFG -> x_prev (reference :575-622), frozen
-            cond = model.apply(state["teacher"], noisy, start_t, y=y_words)
-            ucond = model.apply(state["teacher"], noisy, start_t, y=zero_ctx)
+            cond = model_eval.apply(state["teacher"], noisy, start_t, y=y_words)
+            ucond = model_eval.apply(state["teacher"], noisy, start_t, y=zero_ctx)
             cond_x0 = predicted_origin(cond, start_t, noisy, "v_prediction",
                                        alphas, sigmas)
             ucond_x0 = predicted_origin(ucond, start_t, noisy, "v_prediction",
@@ -101,7 +105,7 @@ def make_lcm_train_step(cfg, model, diffusion, solver, optimizer):
             x_prev = jax.lax.stop_gradient(x_prev)
 
             # target net prediction at t_prev (reference :642-660)
-            tgt = model.apply(state["target"], x_prev, t_prev, y=y_words)
+            tgt = model_eval.apply(state["target"], x_prev, t_prev, y=y_words)
             tgt_x0 = predicted_origin(tgt, t_prev, x_prev, "v_prediction",
                                       alphas, sigmas)
             target = jax.lax.stop_gradient(c_skip * x_prev + c_out * tgt_x0)

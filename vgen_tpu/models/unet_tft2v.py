@@ -179,6 +179,10 @@ class UNetSD_TFT2V(UNetSD_T2VBase):
         emb = self.time_embed(sinusoidal_embedding(t, self.dim))
         if self.use_fps_condition and fps is not None:
             emb = emb + self.fps_embedding(sinusoidal_embedding(fps, self.dim))
+        if self.use_guidance_embedding and t_w is not None:
+            # plumbed but DISABLED add, matching the reference
+            # (unet_videolcm.py:713-714); 0* keeps params materialized
+            emb = emb + 0.0 * self.guidance_embedding(t_w)
         emb = jnp.repeat(emb, f, axis=0)
 
         # context: text (+ image tokens + histogram tokens)
