@@ -52,9 +52,11 @@ def _parse_list_files(data_list: Sequence[str],
 
 
 class _BaseDataset:
-    def __init__(self, data_list, data_dir_list, resolution=(448, 256),
+    def __init__(self, data_list, data_dir_list=None, resolution=(448, 256),
                  vit_resolution=(224, 224), max_words=1000, mean=(0.5,) * 3,
                  std=(0.5,) * 3, **kwargs):
+        if data_dir_list is None:
+            data_dir_list = [""] * len(data_list)
         self.items = _parse_list_files(data_list, data_dir_list)
         self.resolution = tuple(resolution)
         self.vit_resolution = tuple(vit_resolution)
