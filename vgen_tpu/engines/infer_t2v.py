@@ -95,7 +95,15 @@ def build_t2v_models(cfg, key):
     autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder), dtype=dtype)
     autoencoder.init_random(k2, image_size=64)
 
-    model = MODEL.build(dict(cfg.UNet), dtype=dtype)
+    ucfg = dict(cfg.UNet)
+    if "TFT2V" in ucfg["type"] or "VideoLCM" in ucfg["type"]:
+        # video_compositions/resolution live at the top level of the yaml
+        # (the reference passes the whole cfg object, unet_tf2tv.py:257)
+        ucfg.setdefault("video_compositions",
+                        list(cfg.get("video_compositions", ["text"])))
+        ucfg.setdefault("resolution", list(cfg.resolution))
+        cfg.UNet = ucfg
+    model = MODEL.build(ucfg, dtype=dtype)
     lat_h = int(cfg.resolution[1]) // int(cfg.get("scale", 8))
     lat_w = int(cfg.resolution[0]) // int(cfg.get("scale", 8))
     x0 = jnp.zeros((1, 2, lat_h, lat_w, cfg.UNet["in_dim"]))

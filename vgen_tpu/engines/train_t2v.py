@@ -52,7 +52,13 @@ def _build_models(cfg, key, frames_example: int):
     autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder))
     autoencoder.init_random(k2, image_size=64)
 
-    model = MODEL.build(dict(cfg.UNet), training=True)
+    ucfg = dict(cfg.UNet)
+    if "TFT2V" in ucfg["type"] or "VideoLCM" in ucfg["type"]:
+        ucfg.setdefault("video_compositions",
+                        list(cfg.get("video_compositions", ["text"])))
+        ucfg.setdefault("resolution", list(cfg.resolution))
+        cfg.UNet = ucfg
+    model = MODEL.build(ucfg, training=True)
     lat_h = int(cfg.resolution[1]) // 8
     lat_w = int(cfg.resolution[0]) // 8
     x0 = jnp.zeros((1, frames_example, lat_h, lat_w, cfg.UNet["in_dim"]))
