@@ -160,14 +160,27 @@ def train_worker(cfg):
     mesh = create_mesh(fsdp=fsdp)
     logger.info("mesh: %s devices=%s", dict(mesh.shape), len(jax.devices()))
 
-    # ---- shapes: frame bucket (reference heterogeneous ranks :100-104) ---
+    # ---- shapes: frame buckets (reference heterogeneous ranks :100-104).
+    # The reference runs DIFFERENT shapes on different DDP ranks at once;
+    # under SPMD every device runs the same program, so the bucket list
+    # becomes a deterministic rotation — one compiled step per
+    # (frames, batch) shape, same steady-state shape mix.
     frame_lens = list(cfg.frame_lens)
     batch_sizes = {str(k): v for k, v in dict(cfg.batch_sizes).items()}
-    max_frames = int(cfg.get("max_frames") or frame_lens[1 % len(frame_lens)])
-    batch_size = int(cfg.get("batch_size") or batch_sizes[str(max_frames)])
-    # global batch must tile the data axes
     dp = mesh.shape["data"] * mesh.shape["fsdp"]
-    batch_size = max(batch_size // dp, 1) * dp
+    if cfg.get("max_frames"):
+        bucket_shapes = [(int(cfg.max_frames),
+                          int(cfg.get("batch_size")
+                              or batch_sizes.get(str(cfg.max_frames), 1)))]
+    else:
+        seen = []
+        for fl in frame_lens:
+            bs = int(batch_sizes.get(str(fl), 1))
+            if (fl, bs) not in seen:
+                seen.append((fl, bs))
+        bucket_shapes = seen
+    bucket_shapes = [(f, max(b // dp, 1) * dp) for f, b in bucket_shapes]
+    max_frames, batch_size = bucket_shapes[min(1, len(bucket_shapes) - 1)]
 
     clip_encoder, autoencoder, model, params, diffusion = _build_models(
         cfg, key, frames_example=2)
@@ -201,17 +214,42 @@ def train_worker(cfg):
     train_step = make_train_step(cfg, model, diffusion, optimizer, use_ema)
     prepare = make_prepare_fn(cfg, autoencoder, clip_encoder)
 
-    # ---- data ---------------------------------------------------------------
-    ds_cfg = dict(cfg.vid_dataset)
-    ds_cfg.setdefault("sample_fps", list(cfg.sample_fps)[1 % len(cfg.sample_fps)])
-    ds_cfg["max_frames"] = max_frames
-    dataset = DATASETS.build(ds_cfg)
-    if len(dataset) == 0:
-        logger.warning("vid_dataset empty — using SyntheticVideoDataset")
-        dataset = SyntheticVideoDataset(resolution=cfg.resolution,
-                                        max_frames=max_frames,
-                                        vit_resolution=cfg.vit_resolution)
-    data_iter = batch_iterator(dataset, batch_size, seed=int(cfg.seed))
+    # ---- auto-resume from our own orbax checkpoints (reference resumes
+    # via Pretrain torch ckpts; we add native resume on top) --------------
+    ck_path, ck_step = latest_checkpoint(log_dir)
+    if ck_path and ck_step > resume_step and bool(cfg.get("auto_resume", True)):
+        try:
+            restored = restore_checkpoint(ck_path, None)
+            state["params"] = jax.tree.map(
+                lambda cur, new: jnp.asarray(new, cur.dtype),
+                state["params"], restored["params"])
+            if use_ema and "ema" in restored:
+                state["ema"] = jax.tree.map(
+                    lambda cur, new: jnp.asarray(new, cur.dtype),
+                    state["ema"], restored["ema"])
+            state["step"] = jnp.asarray(int(restored["step"]), jnp.int32)
+            resume_step = int(restored["step"])
+            logger.info("auto-resumed from %s (step %d)", ck_path, resume_step)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("auto-resume failed (%s) — fresh start", e)
+
+    # ---- data: one iterator per bucket ------------------------------------
+    def make_bucket_iter(frames, bsz):
+        ds_cfg = dict(cfg.vid_dataset)
+        ds_cfg.setdefault("sample_fps",
+                          list(cfg.sample_fps)[1 % len(cfg.sample_fps)])
+        ds_cfg["max_frames"] = frames
+        dataset = DATASETS.build(ds_cfg)
+        if len(dataset) == 0:
+            logger.warning("vid_dataset empty — using SyntheticVideoDataset")
+            dataset = SyntheticVideoDataset(resolution=cfg.resolution,
+                                            max_frames=frames,
+                                            vit_resolution=cfg.vit_resolution)
+        return batch_iterator(dataset, bsz, seed=int(cfg.seed) + frames)
+
+    bucket_iters = [make_bucket_iter(f, b) for f, b in bucket_shapes]
+    logger.info("train buckets (frames, batch): %s", bucket_shapes)
+    data_iter = bucket_iters[0]
 
     # empty-prompt embedding for caption dropout (reference zero_y :136-139)
     _, _, zero_y = clip_encoder(text=[""])
@@ -231,6 +269,7 @@ def train_worker(cfg):
     step = resume_step
     t_last = time.time()
     while step < num_steps:
+        data_iter = bucket_iters[step % len(bucket_iters)]
         batch = next(data_iter)
         tokens = clip_encoder.tokenize(batch["captions"])
         video = jax.device_put(jnp.asarray(batch["video_data"]), bsh)
@@ -259,6 +298,30 @@ def train_worker(cfg):
 
     logger.info("Congratulations! The training is completed!")
     return state
+
+
+def latest_checkpoint(log_dir: str):
+    """Most recent orbax checkpoint dir under log_dir/checkpoints."""
+    import re as _re
+    ckdir = osp.join(log_dir, "checkpoints")
+    if not osp.isdir(ckdir):
+        return None, 0
+    steps = []
+    for name in os.listdir(ckdir):
+        m = _re.fullmatch(r"step_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    if not steps:
+        return None, 0
+    step = max(steps)
+    return osp.join(ckdir, f"step_{step}"), step
+
+
+def restore_checkpoint(path: str, state_like):
+    """Orbax restore matching the saved payload structure."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(osp.abspath(path))
 
 
 def save_checkpoint(log_dir: str, state, use_ema: bool):

@@ -1,4 +1,4 @@
-from . import blocks
+from . import blocks, blocks_legacy
 from .autoencoder import (AutoencoderKL, AutoencoderVideo,
                           DiagonalGaussianDistribution, IdentityFirstStage)
 from .adapters import (Adapter, BasicTransformerBlockWithAdapter,
