@@ -92,9 +92,15 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_scr[:, :1]))[:, 0]
 
 
-def _flash_fwd_tpu(q, k, v, scale: float, bq: int = 256, bk: int = 512,
+def _flash_fwd_tpu(q, k, v, scale: float, bq: int = 256, bk: int = 2048,
                    interpret: bool = False):
-    """q,k,v: [BH, S, D] -> (o [BH, Sq, D], lse [BH, Sq] f32)."""
+    """q,k,v: [BH, S, D] -> (o [BH, Sq, D], lse [BH, Sq] f32).
+
+    bk defaults to the full (padded) key length capped at 2048: on v5e a
+    single wide K block beats many 512-wide online-softmax steps by ~2x
+    at the UNet's hot shape (S=1792: 6.99 -> 3.29 ms, see
+    tools_dev/profile_flash_sweep.py); VMEM stays small (scores block
+    bq x bk f32 = 2 MB at the cap)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     bq = min(bq, _ceil_to(sq, 128))
