@@ -88,3 +88,31 @@ def test_reduce_dict():
     d = {"a": jnp.asarray(2.0), "b": jnp.asarray(4.0)}
     out = reduce_dict(d, axis_name=None)
     assert float(out["a"]) == 2.0
+
+
+def test_tensor_parallel_rules():
+    """Megatron TP: qkv kernels column-sharded, out-proj row-sharded over
+    'tensor'; everything else falls back to FSDP/replicated."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from vgen_tpu.parallel.mesh import create_mesh, param_shardings
+
+    mesh = create_mesh(data=2, fsdp=2, tensor=2)
+    params = {"params": {
+        "attn1": {"to_q": {"kernel": jnp.zeros((256, 256))},
+                  "to_out": {"kernel": jnp.zeros((256, 256)),
+                             "bias": jnp.zeros((256,))}},
+        "ff": {"geglu": {"proj": {"kernel": jnp.zeros((256, 2048))}},
+               "fc_out": {"kernel": jnp.zeros((1024, 256))}},
+        "other": {"kernel": jnp.zeros((256, 256))},
+    }}
+    sh = param_shardings(params, mesh)
+    p = sh["params"]
+    assert p["attn1"]["to_q"]["kernel"].spec == P("fsdp", "tensor")
+    assert p["attn1"]["to_out"]["kernel"].spec == P("tensor", "fsdp")
+    assert p["attn1"]["to_out"]["bias"].spec == P()  # small -> replicated
+    assert p["ff"]["geglu"]["proj"]["kernel"].spec == P("fsdp", "tensor")
+    assert p["ff"]["fc_out"]["kernel"].spec == P("tensor", "fsdp")
+    # non-TP kernel: plain ZeRO-3 (largest divisible axis over fsdp)
+    assert "tensor" not in str(p["other"]["kernel"].spec)

@@ -60,7 +60,12 @@ def prob_mask_like(key, shape, prob: float) -> jnp.ndarray:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) matching torch semantics (contiguous channel groups)."""
+    """GroupNorm(32) matching torch semantics (contiguous channel groups).
+
+    Stays on flax nn.GroupNorm: a hand-fused Pallas GN was benchmarked
+    (vgen_tpu/ops/groupnorm.py) and LOST end-to-end (9.8 -> 12.1 s/video)
+    because the opaque kernel call blocks XLA's own GN+SiLU+conv fusion.
+    """
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None

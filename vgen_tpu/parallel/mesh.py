@@ -77,15 +77,55 @@ def _fsdp_spec_for(shape: Tuple[int, ...], fsdp_size: int,
     return P()
 
 
-def param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
-    """NamedSharding tree for a parameter pytree (FSDP over 'fsdp')."""
-    fsdp_size = mesh.shape["fsdp"]
+# megatron-style tensor-parallel rules for 2D Dense kernels, keyed by the
+# owning module's name (last path segment before 'kernel'):
+#   column-parallel (shard OUTPUT dim): qkv projections + MLP up-proj —
+#     activations become tensor-sharded, no collective needed yet.
+#   row-parallel (shard INPUT dim): output projections + MLP down-proj —
+#     XLA inserts the all-reduce that completes the megatron pattern.
+_TP_COL = ("to_q", "to_k", "to_v", "proj", "fc_in", "fc1", "qkv", "to_qkv")
+_TP_ROW = ("to_out", "fc_out", "fc2", "proj_out")
 
-    def rule(leaf):
-        return NamedSharding(mesh, _fsdp_spec_for(leaf.shape, fsdp_size,
+
+def _tp_axis_for(path: Tuple[str, ...], shape: Tuple[int, ...]):
+    """Return the axis to shard over 'tensor' (or None) for this leaf."""
+    if len(shape) != 2 or not path or path[-1] != "kernel":
+        return None
+    owner = path[-2] if len(path) >= 2 else ""
+    if owner in _TP_COL:
+        return 1
+    if owner in _TP_ROW:
+        return 0
+    return None
+
+
+def param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16,
+                    tensor_parallel: bool = True):
+    """NamedSharding tree for a parameter pytree: megatron tensor
+    parallelism over 'tensor' for attention/MLP Dense kernels (when the
+    mesh has a tensor axis >1), ZeRO-3 FSDP over 'fsdp' for the rest
+    (and for the remaining axis of TP-sharded kernels)."""
+    fsdp_size = mesh.shape["fsdp"]
+    tp_size = mesh.shape.get("tensor", 1)
+
+    def rule(path, leaf):
+        names = tuple(getattr(p, "key", getattr(p, "name", str(p)))
+                      for p in path)
+        shape = leaf.shape
+        if tensor_parallel and tp_size > 1:
+            tp_axis = _tp_axis_for(names, shape)
+            if tp_axis is not None and shape[tp_axis] % tp_size == 0:
+                spec = [None, None]
+                spec[tp_axis] = "tensor"
+                other = 1 - tp_axis
+                if (math.prod(shape) >= min_size
+                        and shape[other] % fsdp_size == 0 and fsdp_size > 1):
+                    spec[other] = "fsdp"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, _fsdp_spec_for(shape, fsdp_size,
                                                   min_size))
 
-    return jax.tree.map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def shard_params(params, mesh: Mesh, min_size: int = 2 ** 16):
