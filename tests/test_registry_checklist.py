@@ -34,7 +34,8 @@ CHECKLIST = {
     PRETRAIN: ["pretrain_specific_strategies", "pretrain_dreamvideo",
                "pretrain_instructvideo", "pretrain_from_sd",
                "pretrain_ema_model"],
-    VISUAL: ["VisualTrainTextToVideo", "VisualTrainTextImageToVideo"],
+    VISUAL: ["VisualTrainTextToVideo", "VisualTrainTextImageToVideo",
+             "VisualTrainDreamVideo", "VisualVideoTextDuringTrainUnClip"],
 }
 
 

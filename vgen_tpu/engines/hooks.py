@@ -94,4 +94,51 @@ class VisualTrainTextToVideo(_VisualBase):
 
 @VISUAL.register_class()
 class VisualTrainTextImageToVideo(_VisualBase):
-    """Text+image-conditioned variant (reference t2v hooks for i2v/it2v)."""
+    """Text+image-conditioned variant (reference t2v hooks for i2v/it2v,
+    tools/hooks/visual_train_it2v_video.py)."""
+
+
+@VISUAL.register_class()
+class VisualTrainDreamVideo(_VisualBase):
+    """DreamVideo variant (reference tools/hooks/
+    visual_train_dreamvideo.py): samples pass the subject-image CLIP
+    feature as the adapter condition; captions flow through the custom
+    embedder so the learned '*' token is active."""
+
+    def __init__(self, *args, adapter_condition_lam: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.adapter_condition_lam = float(adapter_condition_lam)
+
+    def run(self, params, zero_y, y_words, step: int, captions,
+            adapter_condition=None, **kwargs):
+        extra = None
+        if adapter_condition is not None:
+            extra = {
+                "adapter_condition": jnp.concatenate(
+                    [adapter_condition[:1], adapter_condition[:1]], axis=0),
+                "adapter_condition_lam": self.adapter_condition_lam,
+            }
+        self._run_with_extra(params, zero_y, y_words, step, captions, extra)
+
+    def _run_with_extra(self, params, zero_y, y_words, step, captions,
+                        extra):
+        out_dir = osp.join(str(self.cfg.log_dir), "visuals")
+        os.makedirs(out_dir, exist_ok=True)
+        key = jax.random.PRNGKey(int(self.cfg.seed) + step)
+        frames = int(self.cfg.get("max_frames") or 4)
+        caption = captions[0] if captions else ""
+        for keys in self.partial_keys:
+            video = self._sample(params, y_words[:1], zero_y[:1], frames,
+                                 key, extra_cond=extra)
+            name = f"step{step:07d}_{'_'.join(keys)}.mp4"
+            save_video_with_caption(np.asarray(video), caption,
+                                    osp.join(out_dir, name),
+                                    fps=int(self.cfg.get("target_fps", 8)))
+        logger.info("dreamvideo visual hook wrote samples at step %d", step)
+
+
+@VISUAL.register_class()
+class VisualVideoTextDuringTrainUnClip(_VisualBase):
+    """InstructVideo variant (reference tools/hooks/
+    visual_train_instructvideo.py): same CFG-DDIM sampling — the LoRA
+    deltas live in the training params, so the base flow applies."""

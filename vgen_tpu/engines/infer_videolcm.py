@@ -47,12 +47,14 @@ def make_lcm_generate_fn(cfg, model, autoencoder, diffusion):
         prediction_type="v_prediction")
 
     @jax.jit
-    def generate(unet_params, vae_params, y_words, key):
+    def generate(unet_params, vae_params, y_words, key, conds=None):
         w_emb = guidance_scale_embedding(jnp.full((1,), w_fixed),
                                          embedding_dim=guidance_dim)
+        kw = dict(conds or {})
 
         def model_fn(xt, t):  # NO CFG (reference :172)
-            return model.apply(unet_params, xt, t, y=y_words, t_w=w_emb)
+            return model.apply(unet_params, xt, t, y=y_words, t_w=w_emb,
+                               **kw)
 
         knoise, ksample = jax.random.split(key)
         noise = jax.random.normal(knoise, (1, f, lat_h, lat_w, in_dim),
@@ -95,25 +97,57 @@ def _videolcm_worker(cfg_update, conditioned: bool):
     test_list = [i for i in test_list for _ in range(int(cfg.get("round", 1)))]
 
     outputs = []
-    for idx, caption in enumerate(test_list):
-        if caption.startswith("#") or not caption:
+    for idx, line in enumerate(test_list):
+        if line.startswith("#") or not line:
             continue
         if idx % jax.process_count() != rank:
             continue
+        if conditioned:
+            # "videopath|||caption" lines; one generation per
+            # conditioning combo (reference
+            # inference_videolcm_vcomposer_entrance.py)
+            from ..data.video_io import read_video_frames
+            from .infer_tft2v import extract_conditions
+            src, _, caption = line.partition("|||")
+            caption = caption.strip()
+            src = src.strip()
+            if not osp.exists(src):
+                logger.warning("input video %s missing — skip", src)
+                continue
+            f = int(cfg.max_frames)
+            frames_u8 = read_video_frames(src, max_frames=f)
+            if len(frames_u8) < f:
+                frames_u8 = np.concatenate(
+                    [frames_u8,
+                     np.repeat(frames_u8[-1:], f - len(frames_u8), 0)], 0)
+            partial_keys_list = [tuple(k) for k in
+                                 cfg.get("partial_keys",
+                                         [["y", "local_image"]])]
+            combos = [(c, extract_conditions(cfg, frames_u8, c,
+                                             clip_encoder))
+                      for c in partial_keys_list]
+        else:
+            caption = line
+            combos = [((), None)]
         logger.info("[%d] LCM sampling %r", idx, caption)
         _, _, y_words = clip_encoder(text=[caption])
-        key, sub = jax.random.split(key)
-        t0 = time.time()
-        frames = jax.block_until_ready(
-            generate(unet_params, autoencoder.params, y_words, sub))
-        dt = time.time() - t0
-        cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")[:80]
-        path = osp.join(save_dir, f"rank{rank:02d}_{idx:04d}_{cap_name}.mp4")
-        written = save_video(np.asarray(frames), path,
-                             fps=int(cfg.get("target_fps", 8)),
-                             mean=cfg.mean, std=cfg.std)
-        logger.info("LCM sampled in %.2fs -> %s", dt, written)
-        outputs.append(written)
+        for combo, conds in combos:
+            key, sub = jax.random.split(key)
+            t0 = time.time()
+            frames = jax.block_until_ready(
+                generate(unet_params, autoencoder.params, y_words, sub,
+                         conds))
+            dt = time.time() - t0
+            cap_name = re.sub(r"[^\w\s]", "",
+                              caption).replace(" ", "_")[:80]
+            tag = ("_".join(combo) + "_") if combo else ""
+            path = osp.join(save_dir,
+                            f"rank{rank:02d}_{idx:04d}_{tag}{cap_name}.mp4")
+            written = save_video(np.asarray(frames), path,
+                                 fps=int(cfg.get("target_fps", 8)),
+                                 mean=cfg.mean, std=cfg.std)
+            logger.info("LCM sampled in %.2fs -> %s", dt, written)
+            outputs.append(written)
     logger.info("Congratulations! The inference is completed!")
     return outputs
 
