@@ -11,7 +11,7 @@ TPU-native equivalent of the reference evaluator
     frames' CLIP embeddings.
 
 Usage:
-  python metric/cal_metric_dreamvideo.py --video_dir D --ref_image_dir R \
+  python metric/cal_metric_DreamVideo.py --video_dir D --ref_image_dir R \
       --prompt_file P [--clip_ckpt models/open_clip_pytorch_model.bin]
 """
 
