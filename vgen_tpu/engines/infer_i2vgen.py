@@ -70,20 +70,35 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
         local_image = jnp.repeat(local[:, None], f, axis=1)  # [1,f,lh,lw,4]
 
         zero_image = jnp.zeros_like(y_visual) if use_zero_infer else None
+        uncond_image = zero_image if zero_image is not None else y_visual
+
+        # CFG execution: batched (cond+uncond in one call, best MXU
+        # utilization) at base resolution; SEQUENTIAL two calls at high
+        # resolution — at 1280x704 the UNet's live skip activations are
+        # ~2.9 GB each at batch 2 and a single 16 GB chip OOMs, while
+        # two batch-1 calls fit (the reference always runs two calls,
+        # diffusion_ddim.py:157-158)
+        seq_cfg = bool(cfg.get("sequential_cfg", lat_h * lat_w > 4096))
 
         def model_fn(xt, t):
-            x2 = jnp.concatenate([xt, xt], axis=0)
-            t2 = jnp.concatenate([t[None], t[None]], axis=0) if t.ndim == 0 \
-                else jnp.concatenate([t, t], axis=0)
-            ctx = jnp.concatenate([y_words, y_negative], axis=0)
-            img = jnp.concatenate(
-                [y_visual,
-                 zero_image if zero_image is not None else y_visual], axis=0)
-            li = jnp.concatenate([local_image, local_image], axis=0)
-            fps2 = jnp.concatenate([fps, fps], axis=0)
-            out = model.apply(unet_params, x2, t2, y=ctx, image=img,
-                              local_image=li, fps=fps2)
-            y_out, u_out = jnp.split(out, 2, axis=0)
+            tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 else t
+            if seq_cfg:
+                y_out = model.apply(unet_params, xt, tb, y=y_words,
+                                    image=y_visual, local_image=local_image,
+                                    fps=fps)
+                u_out = model.apply(unet_params, xt, tb, y=y_negative,
+                                    image=uncond_image,
+                                    local_image=local_image, fps=fps)
+            else:
+                x2 = jnp.concatenate([xt, xt], axis=0)
+                t2 = jnp.concatenate([tb, tb], axis=0)
+                ctx = jnp.concatenate([y_words, y_negative], axis=0)
+                img = jnp.concatenate([y_visual, uncond_image], axis=0)
+                li = jnp.concatenate([local_image, local_image], axis=0)
+                fps2 = jnp.concatenate([fps, fps], axis=0)
+                out = model.apply(unet_params, x2, t2, y=ctx, image=img,
+                                  local_image=li, fps=fps2)
+                y_out, u_out = jnp.split(out, 2, axis=0)
             return diffusion.classifier_free_guidance(y_out, u_out, guide_scale)
 
         noise = jax.random.normal(knoise, (1, f, lat_h, lat_w, in_dim),

@@ -80,14 +80,23 @@ def make_sr_fn(cfg, model, autoencoder, diffusion):
             latents, uncond_fn, ddim_timesteps=30,
             reverse_steps=total_noise_levels)
 
+        # sequential CFG at SR resolution: 32 frames x 1280x720 latents
+        # at batch 2 blow a single chip's HBM (see infer_i2vgen note);
+        # default sequential above 4096 spatial tokens
+        seq_cfg = bool(cfg.get("sequential_cfg", lh * lw > 4096))
+
         def guided_fn(xt, t):
-            x2 = jnp.concatenate([xt, xt], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            ctx = jnp.concatenate(
-                [jnp.broadcast_to(y_words, (b,) + y_words.shape[1:]),
-                 jnp.broadcast_to(zero_y, (b,) + zero_y.shape[1:])], axis=0)
-            out = model.apply(unet_params, x2, t2, y=ctx)
-            y_out, u_out = jnp.split(out, 2, axis=0)
+            yb = jnp.broadcast_to(y_words, (b,) + y_words.shape[1:])
+            zb = jnp.broadcast_to(zero_y, (b,) + zero_y.shape[1:])
+            if seq_cfg:
+                y_out = model.apply(unet_params, xt, t, y=yb)
+                u_out = model.apply(unet_params, xt, t, y=zb)
+            else:
+                x2 = jnp.concatenate([xt, xt], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                ctx = jnp.concatenate([yb, zb], axis=0)
+                out = model.apply(unet_params, x2, t2, y=ctx)
+                y_out, u_out = jnp.split(out, 2, axis=0)
             return guided_out(y_out, u_out, guide_scale, guide_rescale)
 
         # pass 2: DPM-Solver++ 2M SDE from level 699 (:269-280)

@@ -194,11 +194,18 @@ def train_worker(cfg):
     import optax
     schedule = annealing_lr(float(cfg.lr), int(cfg.warmup_steps),
                             int(cfg.num_steps), str(cfg.decay_mode))
-    opt = optax.chain(
-        scale_grads_by_mask(grad_scale_fn),
-        build_optimizer(schedule, weight_decay=float(cfg.weight_decay),
-                        betas=tuple(cfg.betas), eps=float(cfg.eps)),
-    )
+    # cfg.optimizer: 'adamw' (reference default) or 'adafactor' — the
+    # factored second moment is what makes single-chip 1.4B training fit
+    # in one v5e's 16 GB HBM (AdamW's f32 moments alone are ~11 GB)
+    if str(cfg.get("optimizer", "adamw")).lower() == "adafactor":
+        from ..utils.optim import adafactor
+        base_opt = adafactor(schedule)
+    else:
+        base_opt = build_optimizer(schedule,
+                                   weight_decay=float(cfg.weight_decay),
+                                   betas=tuple(cfg.betas),
+                                   eps=float(cfg.eps))
+    opt = optax.chain(scale_grads_by_mask(grad_scale_fn), base_opt)
     mask = freeze_mask(params, trainable_fn)
     optimizer = optax.masked(opt, mask)
 
