@@ -79,8 +79,11 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
         # two batch-1 calls fit (the reference always runs two calls,
         # diffusion_ddim.py:157-158)
         seq_cfg = bool(cfg.get("sequential_cfg", lat_h * lat_w > 4096))
+        from ..parallel.mesh import constrain_spatial, spatial_infer_mesh
+        sp_mesh = spatial_infer_mesh() if cfg.get("use_zero_infer") else None
 
         def model_fn(xt, t):
+            xt = constrain_spatial(xt, sp_mesh)
             tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 else t
             if seq_cfg:
                 y_out = model.apply(unet_params, xt, tb, y=y_words,

@@ -121,6 +121,16 @@ def build_t2v_models(cfg, key):
             "test_model %r not found — running with RANDOM weights "
             "(smoke/benchmark mode; outputs are noise)", test_model)
 
+    if dtype is not None:
+        # inference-only: the bf16-compute modules cast every param to
+        # bf16 per-op anyway, so f32 storage is pure HBM waste (5.6 GB
+        # for the 1.4B UNet — the difference between fitting 720p on one
+        # chip or not). Numerically identical to f32 storage + cast.
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+        unet_params = cast(unet_params)
+        autoencoder.params = cast(autoencoder.params)
+
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
     return clip_encoder, autoencoder, model, unet_params, diffusion
 
@@ -141,10 +151,15 @@ def make_generate_fn(cfg, model, autoencoder, diffusion):
     # spatial tokens where batch-2 skip activations OOM one chip
     # (see infer_i2vgen note; the reference always runs two calls)
     seq_cfg = bool(cfg.get("sequential_cfg", lat_h * lat_w > 4096))
+    # multi-chip: shard the latent height over all devices
+    # (use_zero_infer analog — reference configs set it for big runs)
+    from ..parallel.mesh import constrain_spatial, spatial_infer_mesh
+    sp_mesh = spatial_infer_mesh() if cfg.get("use_zero_infer") else None
 
     @partial(jax.jit, static_argnums=())
     def generate(unet_params, vae_params, y_words, y_negative, fps, key):
         def model_fn(xt, t):
+            xt = constrain_spatial(xt, sp_mesh)
             tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 else t
             if seq_cfg:
                 y_out = model.apply(unet_params, xt, tb, y=y_words, fps=fps)

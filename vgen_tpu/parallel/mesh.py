@@ -134,6 +134,31 @@ def shard_params(params, mesh: Mesh, min_size: int = 2 ** 16):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def spatial_infer_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """1-D ("sp",) mesh over all local devices for spatially-sharded
+    inference (the reference's use_zero_infer analog: big-activations
+    inference that one chip cannot hold). Returns None single-device."""
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    return Mesh(np.asarray(devices), ("sp",))
+
+
+def constrain_spatial(x, mesh: Optional[Mesh], axis: int = -3):
+    """Constrain activation sharding: split the latent HEIGHT axis over
+    the ("sp",) mesh. GSPMD propagates through the UNet — convolutions
+    get halo exchanges, attention gets K/V all-gathers — so every skip
+    activation lives 1/P per chip (at 720p the skips are ~9 GB total:
+    the difference between one chip OOMing and a v5e-8 cruising)."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding
+    spec = [None] * x.ndim
+    spec[axis % x.ndim] = "sp"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 def logical_axis_rules_summary(params, mesh: Mesh) -> dict:
     """Debug helper: histogram of sharding specs chosen for the tree."""
     shardings = param_shardings(params, mesh)
