@@ -87,7 +87,8 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
     scale_factor = float(cfg.scale_factor)
 
     @jax.jit
-    def generate(unet_params, vae_params, y_words, y_neg, acond, key):
+    def generate(unet_params, vae_params, y_words, y_neg, acond,
+                 inverse_noise, inv_strength, key):
         def model_fn(xt, t):
             x2 = jnp.concatenate([xt, xt], axis=0)
             t2 = jnp.concatenate([t[None], t[None]]) if t.ndim == 0 else \
@@ -102,6 +103,11 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
 
         kn, ks = jax.random.split(key)
         noise = jax.random.normal(kn, (1, f, lat_h, lat_w, 4), jnp.float32)
+        # DDIM-inversion noise mixing (reference
+        # inference_dreamvideo_entrance.py:256-257): motion customization
+        # starts from the inverted reference-video noise
+        noise = (inv_strength ** 0.5 * inverse_noise
+                 + (1.0 - inv_strength) ** 0.5 * noise)
         latents = diffusion.ddim_sample_loop(
             ks, noise, model_fn, ddim_timesteps=int(cfg.get("ddim_timesteps", 50)))
         latents = latents / scale_factor
@@ -111,12 +117,41 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
 
     _, _, zero_y_negative = clip_encoder(text=[str(cfg.negative_prompt)])
 
+    # optional DDIM-inversion of a reference video's latents into the
+    # starting noise (reference :199-209)
+    inv_strength = float(cfg.get("inverse_noise_strength", 0) or 0)
+    inverse_noise = jnp.zeros((1, f, lat_h, lat_w, 4), jnp.float32)
+    if inv_strength > 0:
+        lat_path = str(cfg.get("latents_path", ""))
+        if os.path.exists(lat_path):
+            import torch as _torch
+            lat = _torch.load(lat_path, map_location="cpu")
+            lat = jnp.asarray(lat.numpy()).transpose(0, 2, 3, 4, 1)
+
+            def uncond_fn(xt, t):
+                tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 \
+                    else t
+                zy = jnp.broadcast_to(zero_y_negative,
+                                      (xt.shape[0],)
+                                      + zero_y_negative.shape[1:])
+                return model.apply(unet_params, xt, tb, y=zy)
+
+            inverse_noise = diffusion.ddim_reverse_sample_loop(
+                lat, uncond_fn,
+                ddim_timesteps=int(cfg.get("ddim_timesteps", 50)))
+        else:
+            logger.warning("inverse_noise_strength>0 but latents_path %r "
+                           "missing — using pure noise", lat_path)
+            inv_strength = 0.0
+
     with open(cfg.test_list_path) as fh:
         test_list = [l.strip() for l in fh if l.strip()]
     test_list = [i for i in test_list for _ in range(int(cfg.get("round", 1)))]
 
     # subject image for the adapter condition (identity customization)
-    acond = jnp.zeros((1, 1024))
+    acond_dim = int(cfg.UNet.get("temporal_adapter_condition_dim")
+                    or cfg.UNet.get("context_dim", 1024))
+    acond = jnp.zeros((1, acond_dim))
     subj = cfg.get("subject_image")
     if subj and os.path.exists(str(subj)):
         img = np.asarray(Image.open(str(subj)).convert("RGB"))
@@ -138,7 +173,8 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
         t0 = time.time()
         frames = jax.block_until_ready(
             generate(unet_params, autoencoder.params, y_words,
-                     zero_y_negative, acond, sub))
+                     zero_y_negative, acond, inverse_noise,
+                     jnp.float32(inv_strength), sub))
         dt = time.time() - t0
         cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")[:80]
         path = osp.join(save_dir, f"rank{rank:02d}_{idx:04d}_{cap_name}.mp4")
