@@ -130,6 +130,7 @@ def build_t2v_models(cfg, key):
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
         unet_params = cast(unet_params)
         autoencoder.params = cast(autoencoder.params)
+        clip_encoder.params = cast(clip_encoder.params)
 
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
     return clip_encoder, autoencoder, model, unet_params, diffusion

@@ -147,6 +147,11 @@ class PerPromptStatTracker:
             advantages[mask] = (rewards[mask] - mean) / std
         return advantages
 
+    def get_stats(self):
+        """Per-prompt reward stats (reference stat_tracking.py:41-45)."""
+        return {k: {"mean": np.mean(v), "std": np.std(v), "count": len(v)}
+                for k, v in self.stats.items()}
+
 
 class RWRRewardModel(DiffRewardModel):
     """Reward-weighted regression variant (reference reward.py:234+):
