@@ -45,3 +45,89 @@ def test_checkpoint_save_and_shape(tmp_path):
     ENGINE.build(dict(type=cfg["TASK_TYPE"]), cfg_update=cfg)
     ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
     assert any(c.startswith("step_") for c in ckpts)
+
+
+def test_resume_roundtrip_bitwise(tmp_path):
+    """Interrupted-at-2 + auto-resumed-to-4 must equal uninterrupted-to-4
+    bitwise: params, EMA, AND optimizer moments (VERDICT: reference
+    resumes optimizer state, pretrain_functions.py:145-159)."""
+    # uninterrupted run: 4 steps, no checkpoints in the way
+    cfg_a = _tiny_cfg(tmp_path / "a", num_steps=4, save_ckp_interval=1000)
+    state_a = ENGINE.build(dict(type=cfg_a["TASK_TYPE"]), cfg_update=cfg_a)
+
+    # interrupted run: stop at 2 (checkpoint there), then resume to 4
+    cfg_b1 = _tiny_cfg(tmp_path / "b", num_steps=2, save_ckp_interval=2)
+    ENGINE.build(dict(type=cfg_b1["TASK_TYPE"]), cfg_update=cfg_b1)
+    cfg_b2 = _tiny_cfg(tmp_path / "b", num_steps=4, save_ckp_interval=1000)
+    state_b = ENGINE.build(dict(type=cfg_b2["TASK_TYPE"]), cfg_update=cfg_b2)
+
+    assert int(state_a["step"]) == int(state_b["step"]) == 4
+    for name in ("params", "ema", "opt_state"):
+        la = jax.tree.leaves(state_a[name])
+        lb = jax.tree.leaves(state_b[name])
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{name} diverged")
+
+
+def test_bucket_slots_honor_frame_lens_ratio():
+    """frame_lens duplicates are sampling weights: [1,16,...,32] must give
+    a 1:4:3 slot ratio with per-position fps (reference
+    train_t2v_enterance.py:100-104, configs/t2v_train.yaml:5)."""
+    from vgen_tpu.core.config import AttrDict
+    from vgen_tpu.engines.train_t2v import plan_bucket_slots
+
+    cfg = AttrDict({
+        "frame_lens": [1, 16, 16, 16, 16, 32, 32, 32],
+        "sample_fps": [1, 8, 8, 8, 8, 8, 8, 16],
+        "batch_sizes": {"1": 32, "16": 4, "32": 2},
+    })
+    slots = plan_bucket_slots(cfg, dp=1)
+    frames = [s[0] for s in slots]
+    assert frames == [1, 16, 16, 16, 16, 32, 32, 32]
+    assert [s[1] for s in slots] == [32, 4, 4, 4, 4, 2, 2, 2]
+    assert [s[2] for s in slots] == [1, 8, 8, 8, 8, 8, 8, 16]
+    # max_frames pins a single slot (fps index 1 % len, reference :246)
+    cfg["max_frames"] = 16
+    assert plan_bucket_slots(cfg, dp=1) == [(16, 4, 8)]
+
+
+def test_masked_diffusion_masks_loss():
+    """A region masked out of loss_mask must contribute zero loss
+    (reference diffusion_ddim.py:402-406)."""
+    import jax.numpy as jnp
+
+    from vgen_tpu.core import DIFFUSION
+
+    diffusion = DIFFUSION.build(dict(
+        type="DiffusionDDIM", schedule="linear_sd",
+        schedule_param={"num_timesteps": 100, "init_beta": 0.00085,
+                        "last_beta": 0.012},
+        mean_type="eps", var_type="fixed_small", loss_type="mse"))
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (2, 2, 8, 8, 4))
+    t = jnp.asarray([10, 50])
+
+    def model_fn(xt, tt):
+        return xt * 0.1  # arbitrary deterministic "eps" prediction
+
+    full = jnp.ones((2, 2, 8, 8, 1))
+    half = full.at[:, :, :, 4:, :].set(0.0)
+    loss_full = diffusion.loss(key, x0, t, model_fn, loss_mask=full)
+    loss_half = diffusion.loss(key, x0, t, model_fn, loss_mask=half)
+    loss_none = diffusion.loss(key, x0, t, model_fn)
+    np.testing.assert_allclose(np.asarray(loss_full), np.asarray(loss_none),
+                               rtol=1e-6)
+    # masked-out half contributes nothing: recompute on the visible half
+    import jax as _jax
+
+    def visible_loss(m):
+        l = diffusion.loss(key, x0, t, model_fn, loss_mask=m)
+        return l.sum()
+
+    g = _jax.grad(lambda x: diffusion.loss(key, x, t, model_fn,
+                                           loss_mask=half).sum())(x0)
+    assert float(jnp.abs(g[:, :, :, 4:, :]).max()) == 0.0, \
+        "gradient leaked into the masked-out region"
+    assert float(loss_half.mean()) < float(loss_full.mean())

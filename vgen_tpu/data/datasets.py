@@ -209,36 +209,63 @@ class SyntheticVideoDataset:
                 video, f"synthetic caption {idx}", f"syn_{idx}")
 
 
+def _collate(samples):
+    ref, vit, video, captions, keys = zip(*[s[:5] for s in samples])
+    out = {"ref_frame": np.stack(ref), "vit_frame": np.stack(vit),
+           "video_data": np.stack(video), "captions": list(captions),
+           "keys": list(keys)}
+    # 6th element = subject mask (ImageCustomDataset, for DreamVideo
+    # masked diffusion — reference train_dreamvideo_entrance.py:237,284)
+    if len(samples[0]) > 5:
+        out["mask"] = np.stack([s[5] for s in samples])
+    return out
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
-                   seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
-    """Threaded prefetching batch loader: collates numpy batches on a
-    worker thread so host decode hides behind device step time
-    (replaces torch DataLoader + DistributedSampler,
-    reference train_t2v_enterance.py:125-132)."""
+                   seed: int = 0, prefetch: int = 4, num_workers: int = 4,
+                   skip_batches: int = 0) -> Iterator[dict]:
+    """Parallel prefetching batch loader (replaces torch DataLoader +
+    DistributedSampler, reference train_t2v_enterance.py:125-132).
+
+    ``num_workers`` decode threads run ``dataset[i]`` concurrently — cv2
+    video decode and PIL image decode release the GIL, so threads give
+    real parallel decode without the pickling/IPC cost a process pool
+    would add for multi-MB video arrays. Batch ORDER stays deterministic
+    (futures are consumed in submission order), so a fixed seed gives a
+    reproducible batch stream. ``skip_batches`` fast-forwards the stream
+    without decoding — O(1) per skipped batch — so a resumed run at step
+    s sees exactly the batch an uninterrupted run would see.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     rng = random.Random(seed)
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
+    ex = ThreadPoolExecutor(max_workers=max(int(num_workers), 1))
+    fut_q: queue.Queue = queue.Queue(maxsize=max(int(prefetch), 1))
 
-    def collate(samples):
-        ref, vit, video, captions, keys = zip(*[s[:5] for s in samples])
-        return {"ref_frame": np.stack(ref), "vit_frame": np.stack(vit),
-                "video_data": np.stack(video), "captions": list(captions),
-                "keys": list(keys)}
-
-    def worker():
-        order = list(range(len(dataset)))
+    def submitter():
+        gbi = 0
         while not stop.is_set():
+            order = list(range(len(dataset)))
             if shuffle:
                 rng.shuffle(order)
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 if stop.is_set():
                     return
-                q.put(collate([dataset[j] for j in order[i:i + batch_size]]))
+                if gbi < skip_batches:
+                    gbi += 1
+                    continue
+                futs = [ex.submit(dataset.__getitem__, j)
+                        for j in order[i:i + batch_size]]
+                fut_q.put(futs)  # blocks when prefetch is full
+                gbi += 1
 
-    th = threading.Thread(target=worker, daemon=True)
+    th = threading.Thread(target=submitter, daemon=True)
     th.start()
     try:
         while True:
-            yield q.get()
+            futs = fut_q.get()
+            yield _collate([f.result() for f in futs])
     finally:
         stop.set()
+        ex.shutdown(wait=False)

@@ -292,11 +292,15 @@ class DiffusionDDIM:
         xt_1 = jnp.sqrt(alphas_prev) * x0 + direction + mask * sigmas * noise
         return xt_1, x0
 
-    def ddim_sample_loop(self, key, noise, model_fn: ModelFn, clamp=None,
+    def ddim_sample_scan(self, key, xt, steps, model_fn: ModelFn, clamp=None,
                          percentile=None, ddim_timesteps: int = 20,
                          eta: float = 0.0):
-        """Full DDIM chain as one lax.scan (reference :246-254)."""
-        steps = jnp.asarray(self.ddim_timestep_seq(ddim_timesteps), dtype=jnp.int32)
+        """Scan the DDIM update over a GIVEN step array [n]. Used both for
+        the full chain and for host-driven SEGMENTS: one device execution
+        per segment keeps each XLA program short (at 720p a 100-forward
+        program is a single multi-minute device call — too long for
+        execution watchdogs; segmenting costs ~ms per boundary)."""
+        steps = jnp.asarray(steps, jnp.int32)
 
         def body(xt, inp):
             step, k = inp
@@ -304,9 +308,17 @@ class DiffusionDDIM:
                                      ddim_timesteps, eta)
             return xt, None
 
-        keys = jax.random.split(key, len(steps))
-        xt, _ = jax.lax.scan(body, noise.astype(jnp.float32), (steps, keys))
+        keys = jax.random.split(key, steps.shape[0])
+        xt, _ = jax.lax.scan(body, xt.astype(jnp.float32), (steps, keys))
         return xt
+
+    def ddim_sample_loop(self, key, noise, model_fn: ModelFn, clamp=None,
+                         percentile=None, ddim_timesteps: int = 20,
+                         eta: float = 0.0):
+        """Full DDIM chain as one lax.scan (reference :246-254)."""
+        steps = self.ddim_timestep_seq(ddim_timesteps)
+        return self.ddim_sample_scan(key, noise, steps, model_fn, clamp,
+                                     percentile, ddim_timesteps, eta)
 
     def ddim_reverse_sample(self, xt, t, model_fn: ModelFn, clamp=None,
                             percentile=None, ddim_timesteps: int = 20):
@@ -321,19 +333,28 @@ class DiffusionDDIM:
         mu = jnp.sqrt(alphas_next) * x0 + jnp.sqrt(1 - alphas_next) * eps
         return mu, x0
 
-    def ddim_reverse_sample_loop(self, x0, model_fn: ModelFn, clamp=None,
-                                 percentile=None, ddim_timesteps: int = 20):
-        """x0 -> noise inversion as one lax.scan (reference :276-287)."""
-        stride = self.num_timesteps // ddim_timesteps
-        steps = jnp.arange(0, self.num_timesteps, stride, dtype=jnp.int32)
+    def ddim_reverse_sample_scan(self, xt, steps, model_fn: ModelFn,
+                                 clamp=None, percentile=None,
+                                 ddim_timesteps: int = 20):
+        """Inversion scan over a GIVEN ascending step array [n] (segment
+        support, see ddim_sample_scan)."""
 
         def body(xt, step):
             xt, _ = self.ddim_reverse_sample(xt, step, model_fn, clamp,
                                              percentile, ddim_timesteps)
             return xt, None
 
-        xt, _ = jax.lax.scan(body, x0.astype(jnp.float32), steps)
+        xt, _ = jax.lax.scan(body, xt.astype(jnp.float32),
+                             jnp.asarray(steps, jnp.int32))
         return xt
+
+    def ddim_reverse_sample_loop(self, x0, model_fn: ModelFn, clamp=None,
+                                 percentile=None, ddim_timesteps: int = 20):
+        """x0 -> noise inversion as one lax.scan (reference :276-287)."""
+        stride = self.num_timesteps // ddim_timesteps
+        steps = np.arange(0, self.num_timesteps, stride, dtype=np.int32)
+        return self.ddim_reverse_sample_scan(x0, steps, model_fn, clamp,
+                                             percentile, ddim_timesteps)
 
     # ------------------------------------------------------------------ #
     # PLMS (pseudo linear multistep, Adams-Bashforth orders 2-4)
@@ -408,16 +429,22 @@ class DiffusionDDIM:
         """
         noise = self.sample_loss_noise(key, x0, noise)
         xt = self.q_sample(x0, t, noise)
+        out = model_fn(xt, self._scale_timesteps(t))
+        return self._loss_from_out(x0, xt, t, noise, out, weight,
+                                   use_div_loss, loss_mask)
+
+    def _loss_from_out(self, x0, xt, t, noise, out, weight=None,
+                       use_div_loss=False, loss_mask=None):
+        """Loss given a precomputed model output (lets subclasses reuse the
+        forward for auxiliary terms, e.g. the reward loss's x0/log-prob —
+        the reference returns them from ONE pass, diffusion_ddim.py:677-762)."""
         nd = x0.ndim
 
         if self.loss_type in ("kl", "rescaled_kl"):
-            out = model_fn(xt, self._scale_timesteps(t))
             loss, _ = self._vlb_from_out(x0, xt, t, out)
             if self.loss_type == "rescaled_kl":
                 loss = loss * self.num_timesteps
             return loss
-
-        out = model_fn(xt, self._scale_timesteps(t))
 
         # learned-variance VLB term (variance learned without moving mean)
         loss_vlb = 0.0

@@ -266,12 +266,14 @@ class GaussianDiffusion:
         mu = alphas_s * x0 + sigmas_s * eps
         return mu, x0
 
-    def ddim_reverse_sample_loop(self, x0, model_fn: ModelFn, clamp=None,
-                                 percentile=None, ddim_timesteps: int = 20,
+    def ddim_reverse_sample_scan(self, xt, steps, model_fn: ModelFn,
+                                 clamp=None, percentile=None,
+                                 ddim_timesteps: int = 20,
                                  reverse_steps: int = 600):
-        b = x0.shape[0]
-        steps = jnp.arange(0, reverse_steps, reverse_steps // ddim_timesteps,
-                           dtype=jnp.int32)
+        """Inversion scan over a GIVEN ascending step array [n] — the
+        building block for host-driven segmented execution (one device
+        call per segment; see ddim.ddim_sample_scan)."""
+        b = xt.shape[0]
 
         def body(xt, step):
             t = jnp.full((b,), step, dtype=jnp.int32)
@@ -280,8 +282,22 @@ class GaussianDiffusion:
                                              reverse_steps)
             return xt, None
 
-        xt, _ = jax.lax.scan(body, x0.astype(jnp.float32), steps)
+        xt, _ = jax.lax.scan(body, xt.astype(jnp.float32),
+                             jnp.asarray(steps, jnp.int32))
         return xt
+
+    def reverse_steps_np(self, ddim_timesteps: int = 20,
+                         reverse_steps: int = 600) -> np.ndarray:
+        return np.arange(0, reverse_steps, reverse_steps // ddim_timesteps,
+                         dtype=np.int32)
+
+    def ddim_reverse_sample_loop(self, x0, model_fn: ModelFn, clamp=None,
+                                 percentile=None, ddim_timesteps: int = 20,
+                                 reverse_steps: int = 600):
+        steps = self.reverse_steps_np(ddim_timesteps, reverse_steps)
+        return self.ddim_reverse_sample_scan(x0, steps, model_fn, clamp,
+                                             percentile, ddim_timesteps,
+                                             reverse_steps)
 
     # ------------------------------------------------------------------ #
     # single-step helpers (DreamVideo DDIM inversion, reference :468-492)
@@ -345,6 +361,29 @@ def sample_dpmpp_2m_sde(key, noise, denoise_to_x0, sigmas: np.ndarray,
         return x
     keys = jax.random.split(key, num)
 
+    carry0 = dpmpp_carry_init(x)
+    carry = dpmpp_2m_sde_scan(carry0, sig_i, sig_ip1, t_i, keys,
+                              denoise_to_x0, eta, s_noise, solver_type)
+    return carry[0]
+
+
+def dpmpp_carry_init(x):
+    """(x, old_denoised, h_last, have_old) scan carry for the SDE solver."""
+    x = x.astype(jnp.float32)
+    return (x, jnp.zeros_like(x), jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(False))
+
+
+def dpmpp_2m_sde_scan(carry, sig_i, sig_ip1, t_i, keys, denoise_to_x0,
+                      eta: float = 1.0, s_noise: float = 1.0,
+                      solver_type: str = "midpoint"):
+    """Scan the 2M-SDE update over GIVEN sigma/t/key slices, carry in/out.
+
+    Used both by ``sample_dpmpp_2m_sde`` (whole trajectory, one scan) and
+    by host-driven SEGMENTED execution at high resolution — one device
+    call per slice keeps each XLA execution short (see
+    ddim.ddim_sample_scan for the rationale)."""
+
     def body(carry, inp):
         x, old_denoised, h_last, have_old = carry
         sigma, sigma_next, t_int, k = inp
@@ -388,8 +427,7 @@ def sample_dpmpp_2m_sde(key, noise, denoise_to_x0, sigmas: np.ndarray,
         h_new = s_log - t_log
         return (x_next, denoised, h_new, jnp.asarray(True)), None
 
-    x = x.astype(jnp.float32)
-    h0 = jnp.asarray(1.0, jnp.float32)
-    carry0 = (x, jnp.zeros_like(x), h0, jnp.asarray(False))
-    (x, _, _, _), _ = jax.lax.scan(body, carry0, (sig_i, sig_ip1, t_i, keys))
-    return x
+    carry, _ = jax.lax.scan(body, carry, (jnp.asarray(sig_i, jnp.float32),
+                                          jnp.asarray(sig_ip1, jnp.float32),
+                                          jnp.asarray(t_i, jnp.int32), keys))
+    return carry

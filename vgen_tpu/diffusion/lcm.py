@@ -134,8 +134,11 @@ class LCMScheduler:
             out = model_fn(x, tb).astype(jnp.float32)
             pred = "epsilon" if self.prediction_type == "epsilon" else "v_prediction"
             x0 = predicted_origin(out, tb, x, pred, alphas, sigmas)
-            scaled_t = jnp.asarray(t, jnp.float32) * self.timestep_scaling / 1000.0
-            c_skip, c_out = scalings_for_boundary_conditions(scaled_t)
+            # raw integer timestep: scalings divide by 0.1, i.e. scaled =
+            # 10*t — matching diffusers LCMScheduler (timestep_scaling=10)
+            # and train_videolcm's scalings_for_boundary_conditions
+            c_skip, c_out = scalings_for_boundary_conditions(
+                jnp.asarray(t, jnp.float32))
             denoised = c_out * x0 + c_skip * x
             z = jax.random.normal(k, x.shape, dtype=jnp.float32)
             a_prev = jnp.sqrt(ac[t_prev])

@@ -92,10 +92,15 @@ class DiffusionDDIMReward(DiffusionDDIM):
             + jnp.sqrt(1 - alphas_prev - sigmas ** 2) * eps
         if prev_sample is None:
             z = jax.random.normal(key, xt.shape, jnp.float32)
-            prev_sample = mu + sigmas * z
+            # no noise at t==0 (reference mask = t.ne(0), :631)
+            mask = (t != 0).astype(jnp.float32).reshape(
+                (-1,) + (1,) * (nd - 1))
+            prev_sample = mu + mask * sigmas * z
+        # log N(prev_sample | mu, sigma^2); the sample is a constant
+        # w.r.t. the policy (reference detaches xt_1, :639)
         var = jnp.maximum(sigmas ** 2, 1e-10)
-        log_prob = (-((prev_sample - mu) ** 2) / (2 * var)
-                    - 0.5 * jnp.log(2 * jnp.pi * var))
+        log_prob = (-((jax.lax.stop_gradient(prev_sample) - mu) ** 2)
+                    / (2 * var) - 0.5 * jnp.log(2 * jnp.pi * var))
         log_prob = log_prob.reshape(log_prob.shape[0], -1).mean(axis=1)
         return prev_sample, log_prob, x0
 
@@ -103,17 +108,24 @@ class DiffusionDDIMReward(DiffusionDDIM):
     def loss(self, key, x0, t, model_fn: ModelFn, noise=None, weight=None,
              use_div_loss=False, loss_mask=None, return_aux: bool = False):
         """Reward-aware training loss: additionally returns the implied x0
-        and a step log-prob (reference :677-762)."""
-        base = super().loss(key, x0, t, model_fn, noise=noise, weight=weight,
-                            use_div_loss=use_div_loss, loss_mask=loss_mask)
-        if not return_aux:
-            return base
+        and a step log-prob from the SAME model forward (the reference
+        returns (loss, x0_hat, log_prob) from one pass, :677-762)."""
         noise_ = self.sample_loss_noise(key, x0, noise)
         xt = self.q_sample(x0, t, noise_)
         out = model_fn(xt, self._scale_timesteps(t))
+        base = self._loss_from_out(x0, xt, t, noise_, out, weight,
+                                   use_div_loss, loss_mask)
+        if not return_aux:
+            return base
+        if self.var_type in ("learned", "learned_range"):
+            out = jnp.split(out, 2, axis=-1)[0]
         nd = x0.ndim
-        x0_hat = (_i(self.sqrt_recip_alphas_cumprod, t, nd) * xt
-                  - _i(self.sqrt_recipm1_alphas_cumprod, t, nd) * out)
+        if self.mean_type == "v":
+            x0_hat = (_i(self.sqrt_alphas_cumprod, t, nd) * xt
+                      - _i(self.sqrt_one_minus_alphas_cumprod, t, nd) * out)
+        else:  # eps (the InstructVideo config) and x0 fall-through
+            x0_hat = (_i(self.sqrt_recip_alphas_cumprod, t, nd) * xt
+                      - _i(self.sqrt_recipm1_alphas_cumprod, t, nd) * out)
         beta_t = _i(self.betas, t, nd)
         if self.mean_type == "eps":
             est_prev = (xt - jnp.sqrt(beta_t) * out) / jnp.sqrt(1 - beta_t)

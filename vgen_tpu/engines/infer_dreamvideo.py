@@ -80,6 +80,7 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
         manager.load(str(cfg.embedding_ckpt))
 
     lam = float(cfg.get("adapter_condition_lam", 1.0))
+    noise_strength = float(cfg.get("noise_strength", 0) or 0)
     guide_scale = float(cfg.guide_scale)
     f = int(cfg.max_frames)
     lat_h = int(cfg.resolution[1]) // 8
@@ -101,8 +102,14 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
             return diffusion.classifier_free_guidance(y_out, u_out,
                                                       guide_scale)
 
-        kn, ks = jax.random.split(key)
+        kn, ko, ks = jax.random.split(key, 3)
         noise = jax.random.normal(kn, (1, f, lat_h, lat_w, 4), jnp.float32)
+        # offset noise on the starting noise (reference
+        # inference_dreamvideo_entrance.py:251-254: per-(b,c,f) offset,
+        # shared over h,w; our layout is [b,f,h,w,c])
+        if noise_strength > 0:
+            offset = jax.random.normal(ko, (1, f, 1, 1, 4), jnp.float32)
+            noise = noise + noise_strength * offset
         # DDIM-inversion noise mixing (reference
         # inference_dreamvideo_entrance.py:256-257): motion customization
         # starts from the inverted reference-video noise
@@ -116,6 +123,10 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
         return frames
 
     _, _, zero_y_negative = clip_encoder(text=[str(cfg.negative_prompt)])
+    # empty-string embedding for the DDIM-inversion conditioning — the
+    # reference inverts with zero_y (empty prompt), NOT the negative
+    # prompt (inference_dreamvideo_entrance.py:133,206)
+    _, _, zero_y = clip_encoder(text=[""])
 
     # optional DDIM-inversion of a reference video's latents into the
     # starting noise (reference :199-209)
@@ -131,9 +142,8 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
             def uncond_fn(xt, t):
                 tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 \
                     else t
-                zy = jnp.broadcast_to(zero_y_negative,
-                                      (xt.shape[0],)
-                                      + zero_y_negative.shape[1:])
+                zy = jnp.broadcast_to(zero_y,
+                                      (xt.shape[0],) + zero_y.shape[1:])
                 return model.apply(unet_params, xt, tb, y=zy)
 
             inverse_noise = diffusion.ddim_reverse_sample_loop(

@@ -36,6 +36,15 @@ from ..utils.ckpt import load_model_weights
 logger = logging.getLogger(__name__)
 
 
+def largest_divisor_at_most(n: int, k: int) -> int:
+    """Largest divisor of n that is <= k (segment size picker: all
+    segments share ONE compiled shape, no padding)."""
+    k = max(min(int(k), n), 1)
+    while n % k:
+        k -= 1
+    return k
+
+
 def device_memory_gb() -> float:
     """TPU HBM usage (replaces pynvml, reference :197-200)."""
     try:
@@ -56,29 +65,24 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
     decoder_bs = int(cfg.get("decoder_bs", 8))
     chunk = decoder_bs if f % decoder_bs == 0 else f
     use_zero_infer = bool(cfg.get("use_zero_infer", True))
+    highres = lat_h * lat_w > 4096
+    # CFG execution: batched (cond+uncond in one call, best MXU
+    # utilization) at base resolution; SEQUENTIAL two calls at high
+    # resolution — at 1280x704 the UNet's live skip activations are
+    # ~2.9 GB each at batch 2 and a single 16 GB chip OOMs, while
+    # two batch-1 calls fit (the reference always runs two calls,
+    # diffusion_ddim.py:157-158)
+    seq_cfg = bool(cfg.get("sequential_cfg", highres))
+    # segmented execution: at high resolution one 50-step program is a
+    # multi-minute device call — split the chain into host-driven
+    # segments (ONE compile; ~ms per boundary)
+    seg = cfg.get("exec_segment_steps")
+    seg = int(seg) if seg is not None else (5 if highres else 0)
 
-    @jax.jit
-    def generate(unet_params, vae_params, image_pixels, y_words, y_visual,
-                 y_negative, fps, key):
-        """image_pixels: [1,H,W,3] normalized first frame."""
-        kvae, knoise, ksample = jax.random.split(key, 3)
-        # first-frame latent, repeated over frames (reference :192-194)
-        from ..models.autoencoder import DiagonalGaussianDistribution
-        moments = autoencoder.module.apply(vae_params, image_pixels,
-                                           method="encode_moments")
-        local = DiagonalGaussianDistribution(moments).sample(kvae) * scale_factor
-        local_image = jnp.repeat(local[:, None], f, axis=1)  # [1,f,lh,lw,4]
-
+    def make_model_fn(unet_params, y_words, y_visual, y_negative,
+                      local_image, fps):
         zero_image = jnp.zeros_like(y_visual) if use_zero_infer else None
         uncond_image = zero_image if zero_image is not None else y_visual
-
-        # CFG execution: batched (cond+uncond in one call, best MXU
-        # utilization) at base resolution; SEQUENTIAL two calls at high
-        # resolution — at 1280x704 the UNet's live skip activations are
-        # ~2.9 GB each at batch 2 and a single 16 GB chip OOMs, while
-        # two batch-1 calls fit (the reference always runs two calls,
-        # diffusion_ddim.py:157-158)
-        seq_cfg = bool(cfg.get("sequential_cfg", lat_h * lat_w > 4096))
         from ..parallel.mesh import constrain_spatial, spatial_infer_mesh
         sp_mesh = spatial_infer_mesh() if cfg.get("use_zero_infer") else None
 
@@ -104,19 +108,75 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
                 y_out, u_out = jnp.split(out, 2, axis=0)
             return diffusion.classifier_free_guidance(y_out, u_out, guide_scale)
 
-        noise = jax.random.normal(knoise, (1, f, lat_h, lat_w, in_dim),
-                                  jnp.float32)
-        latents = diffusion.ddim_sample_loop(
-            ksample, noise, model_fn, ddim_timesteps=ddim_steps, eta=0.0)
-        latents = latents / scale_factor
+        return model_fn
 
-        lat_frames = latents[0]
-        lat_chunks = lat_frames.reshape(f // chunk, chunk, lat_h, lat_w, in_dim)
+    @jax.jit
+    def encode_first_frame(vae_params, image_pixels, key):
+        """first-frame latent, repeated over frames (reference :192-194)."""
+        from ..models.autoencoder import DiagonalGaussianDistribution
+        moments = autoencoder.module.apply(vae_params, image_pixels,
+                                           method="encode_moments")
+        local = DiagonalGaussianDistribution(moments).sample(key) * scale_factor
+        return jnp.repeat(local[:, None], f, axis=1)  # [1,f,lh,lw,4]
+
+    @jax.jit
+    def decode(vae_params, latents):
+        lat_frames = (latents / scale_factor)[0]
+        lat_chunks = lat_frames.reshape(f // chunk, chunk, lat_h, lat_w,
+                                        in_dim)
         frames = jax.lax.map(
             lambda z: autoencoder.module.apply(vae_params, z,
                                                method="decode_latent"),
             lat_chunks)
         return frames.reshape(f, lat_h * 8, lat_w * 8, -1)
+
+    if not seg:
+        @jax.jit
+        def generate(unet_params, vae_params, image_pixels, y_words,
+                     y_visual, y_negative, fps, key):
+            """image_pixels: [1,H,W,3] normalized first frame."""
+            kvae, knoise, ksample = jax.random.split(key, 3)
+            local_image = encode_first_frame.__wrapped__(
+                vae_params, image_pixels, kvae)
+            model_fn = make_model_fn(unet_params, y_words, y_visual,
+                                     y_negative, local_image, fps)
+            noise = jax.random.normal(knoise, (1, f, lat_h, lat_w, in_dim),
+                                      jnp.float32)
+            latents = diffusion.ddim_sample_loop(
+                ksample, noise, model_fn, ddim_timesteps=ddim_steps, eta=0.0)
+            return decode.__wrapped__(vae_params, latents)
+
+        return generate
+
+    @jax.jit
+    def denoise_segment(unet_params, xt, steps, y_words, y_visual,
+                        y_negative, local_image, fps, key):
+        model_fn = make_model_fn(unet_params, y_words, y_visual,
+                                 y_negative, local_image, fps)
+        return diffusion.ddim_sample_scan(key, xt, steps, model_fn,
+                                          ddim_timesteps=ddim_steps, eta=0.0)
+
+    def generate(unet_params, vae_params, image_pixels, y_words, y_visual,
+                 y_negative, fps, key):
+        """Host-driven segmented pipeline (same math, many short device
+        executions)."""
+        import numpy as np
+
+        kvae, knoise, ksample = jax.random.split(key, 3)
+        local_image = encode_first_frame(vae_params, image_pixels, kvae)
+        xt = jax.random.normal(knoise, (1, f, lat_h, lat_w, in_dim),
+                               jnp.float32)
+        steps_all = np.asarray(diffusion.ddim_timestep_seq(ddim_steps))
+        size = largest_divisor_at_most(len(steps_all), seg)
+        n_seg = len(steps_all) // size
+        seg_keys = jax.random.split(ksample, n_seg)
+        for i in range(n_seg):
+            sl = steps_all[i * size:(i + 1) * size]
+            xt = denoise_segment(unet_params, xt, jnp.asarray(sl, jnp.int32),
+                                 y_words, y_visual, y_negative, local_image,
+                                 fps, seg_keys[i])
+            xt = jax.block_until_ready(xt)
+        return decode(vae_params, xt)
 
     return generate
 

@@ -60,31 +60,23 @@ def load_lowres_latent_fn(cfg, autoencoder):
 
 
 def make_sr_fn(cfg, model, autoencoder, diffusion):
-    """renoise -> dpmpp solve -> decode, one jitted program."""
+    """renoise -> dpmpp solve -> decode. One jitted program at base
+    resolution; host-driven SEGMENTS at 720p (one short device execution
+    per segment — see infer_i2vgen.make_i2vgen_generate_fn)."""
     total_noise_levels = int(cfg.get("total_noise_levels", 700))
     guide_scale = 9.0
     guide_rescale = 0.3
     decoder_bs = int(cfg.get("decoder_bs", 4))
     scale_factor = float(cfg.scale_factor)
+    sr_steps = int(cfg.get("sr_steps", 30))
 
-    @jax.jit
-    def super_resolve(unet_params, vae_params, latents, y_words, zero_y, key):
-        b, f, lh, lw, c = latents.shape
-
+    def uncond_fn_of(unet_params, zero_y):
         def uncond_fn(xt, t):
             return model.apply(unet_params, xt, t, y=jnp.broadcast_to(
                 zero_y, (xt.shape[0],) + zero_y.shape[1:]))
+        return uncond_fn
 
-        # pass 1: deterministic DDIM inversion to level 700 (:256-266)
-        noised = diffusion.reverse_diffusion.ddim_reverse_sample_loop(
-            latents, uncond_fn, ddim_timesteps=30,
-            reverse_steps=total_noise_levels)
-
-        # sequential CFG at SR resolution: 32 frames x 1280x720 latents
-        # at batch 2 blow a single chip's HBM (see infer_i2vgen note);
-        # default sequential above 4096 spatial tokens
-        seq_cfg = bool(cfg.get("sequential_cfg", lh * lw > 4096))
-
+    def guided_fn_of(unet_params, y_words, zero_y, b, seq_cfg):
         def guided_fn(xt, t):
             yb = jnp.broadcast_to(y_words, (b,) + y_words.shape[1:])
             zb = jnp.broadcast_to(zero_y, (b,) + zero_y.shape[1:])
@@ -98,14 +90,12 @@ def make_sr_fn(cfg, model, autoencoder, diffusion):
                 out = model.apply(unet_params, x2, t2, y=ctx)
                 y_out, u_out = jnp.split(out, 2, axis=0)
             return guided_out(y_out, u_out, guide_scale, guide_rescale)
+        return guided_fn
 
-        # pass 2: DPM-Solver++ 2M SDE from level 699 (:269-280)
-        video = diffusion.forward_diffusion.sample(
-            key, noised, guided_fn, solver="dpmpp_2m_sde", steps=30,
-            t_max=total_noise_levels - 1, t_min=0, discretization="trailing")
-        video = video / scale_factor
-
-        lat = video[0]
+    @jax.jit
+    def decode(vae_params, video):
+        b, f, lh, lw, c = video.shape
+        lat = (video / scale_factor)[0]
         cs = decoder_bs if f % decoder_bs == 0 else f
         chunks = lat.reshape(f // cs, cs, lh, lw, c)
         frames = jax.lax.map(
@@ -113,6 +103,119 @@ def make_sr_fn(cfg, model, autoencoder, diffusion):
                                                method="decode_latent"),
             chunks)
         return frames.reshape(f, lh * 8, lw * 8, -1)
+
+    lat_hw = (int(cfg.resolution[1]) // 8) * (int(cfg.resolution[0]) // 8)
+    # sequential CFG at SR resolution: 32 frames x 1280x720 latents
+    # at batch 2 blow a single chip's HBM (see infer_i2vgen note)
+    seq_cfg_default = lat_hw > 4096
+    seg = cfg.get("exec_segment_steps")
+    seg = int(seg) if seg is not None else (5 if lat_hw > 4096 else 0)
+
+    if not seg:
+        @jax.jit
+        def super_resolve(unet_params, vae_params, latents, y_words,
+                          zero_y, key):
+            b = latents.shape[0]
+            seq_cfg = bool(cfg.get("sequential_cfg", seq_cfg_default))
+            # pass 1: deterministic DDIM inversion to level 700 (:256-266)
+            noised = diffusion.reverse_diffusion.ddim_reverse_sample_loop(
+                latents, uncond_fn_of(unet_params, zero_y),
+                ddim_timesteps=sr_steps, reverse_steps=total_noise_levels)
+            # pass 2: DPM-Solver++ 2M SDE from level 699 (:269-280)
+            video = diffusion.forward_diffusion.sample(
+                key, noised, guided_fn_of(unet_params, y_words, zero_y, b,
+                                          seq_cfg),
+                solver="dpmpp_2m_sde", steps=sr_steps,
+                t_max=total_noise_levels - 1, t_min=0,
+                discretization="trailing")
+            return decode.__wrapped__(vae_params, video)
+
+        return super_resolve
+
+    # ---- segmented variant -------------------------------------------
+    from .infer_i2vgen import largest_divisor_at_most
+
+    @jax.jit
+    def reverse_segment(unet_params, xt, steps, zero_y):
+        return diffusion.reverse_diffusion.ddim_reverse_sample_scan(
+            xt, steps, uncond_fn_of(unet_params, zero_y),
+            ddim_timesteps=sr_steps, reverse_steps=total_noise_levels)
+
+    @jax.jit
+    def euler_start(unet_params, noised, y_words, zero_y, t0_int, sigma1):
+        """inf-sigma Euler start of the zero-terminal-SNR trajectory
+        (gauss.sample_dpmpp_2m_sde :329-338)."""
+        b = noised.shape[0]
+        seq_cfg = bool(cfg.get("sequential_cfg", seq_cfg_default))
+        gf = guided_fn_of(unet_params, y_words, zero_y, b, seq_cfg)
+        fwd = diffusion.forward_diffusion
+        t = jnp.broadcast_to(t0_int, (b,))
+        x0 = fwd.denoise(noised, t, None, gf)[-2]
+        return x0 + sigma1 * noised
+
+    @jax.jit
+    def sde_segment(unet_params, carry, sig_i, sig_ip1, t_i, keys, y_words,
+                    zero_y):
+        from ..diffusion.gauss import dpmpp_2m_sde_scan, get_scalings
+        b = carry[0].shape[0]
+        seq_cfg = bool(cfg.get("sequential_cfg", seq_cfg_default))
+        gf = guided_fn_of(unet_params, y_words, zero_y, b, seq_cfg)
+        fwd = diffusion.forward_diffusion
+
+        def denoise_to_x0(xt, t):
+            return fwd.denoise(xt, t, None, gf)[-2]
+
+        return dpmpp_2m_sde_scan(carry, sig_i, sig_ip1, t_i, keys,
+                                 denoise_to_x0, eta=1.0)
+
+    def super_resolve(unet_params, vae_params, latents, y_words, zero_y,
+                      key):
+        import numpy as np
+
+        from ..diffusion.gauss import dpmpp_carry_init
+
+        fwd = diffusion.forward_diffusion
+        rev = diffusion.reverse_diffusion
+
+        # pass 1 (segmented)
+        steps_all = rev.reverse_steps_np(sr_steps, total_noise_levels)
+        size = largest_divisor_at_most(len(steps_all), seg)
+        xt = latents
+        for i in range(0, len(steps_all), size):
+            xt = jax.block_until_ready(reverse_segment(
+                unet_params, xt, jnp.asarray(steps_all[i:i + size]), zero_y))
+
+        # pass 2 (segmented): static trajectory precomputed host-side
+        sigmas, _ = fwd.solver_trajectory(
+            sr_steps, total_noise_levels - 1, 0, "trailing", None, True)
+        t_for_sigma = np.asarray(
+            [round(fwd.sigma_to_t_np(s)) for s in sigmas[:-1]], np.int32)
+        n = len(sigmas) - 1
+        start = 0
+        if np.isinf(sigmas[0]):
+            xt = jax.block_until_ready(euler_start(
+                unet_params, xt, y_words, zero_y,
+                jnp.asarray(int(t_for_sigma[0]), jnp.int32),
+                jnp.asarray(float(sigmas[1]), jnp.float32)))
+            start = 1
+        else:
+            # finite first sigma: scale to the trajectory start
+            # (gauss.sample_dpmpp_2m_sde :338)
+            xt = xt * float(sigmas[0])
+        carry = dpmpp_carry_init(xt)
+        num = n - start
+        keys = jax.random.split(key, max(num, 1))
+        size = largest_divisor_at_most(num, seg)
+        for i in range(start, n, size):
+            j = i - start
+            carry = sde_segment(
+                unet_params, carry,
+                jnp.asarray(sigmas[i:i + size], jnp.float32),
+                jnp.asarray(sigmas[i + 1:i + size + 1], jnp.float32),
+                jnp.asarray(t_for_sigma[i:i + size], jnp.int32),
+                keys[j:j + size], y_words, zero_y)
+            carry = jax.block_until_ready(carry)
+        return decode(vae_params, carry[0])
 
     return super_resolve
 

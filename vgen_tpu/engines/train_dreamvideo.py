@@ -167,7 +167,13 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
         vit = jnp.asarray(batch["vit_frame"])
         adapter_cond = clip_encoder.module.apply(
             clip_encoder.params, vit, method="encode_image")
-        loss_mask = jnp.ones(video.shape[:1] + video.shape[1:4] + (1,))
+        # subject mask from the dataset (ImageCustomDataset) when present —
+        # the reference's masked diffusion restricts the loss to subject
+        # pixels (train_dreamvideo_entrance.py:237,277-285)
+        if "mask" in batch:
+            loss_mask = jnp.asarray(batch["mask"], jnp.float32)
+        else:
+            loss_mask = jnp.ones(video.shape[:1] + video.shape[1:4] + (1,))
 
         key, k1, k2 = jax.random.split(key, 3)
         x0, _ = prepare(autoencoder.params, clip_encoder.params, video,

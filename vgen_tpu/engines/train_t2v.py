@@ -39,6 +39,7 @@ from ..core import (AUTO_ENCODER, DATASETS, DIFFUSION, EMBEDDER, ENGINE,
 from ..data.datasets import SyntheticVideoDataset, batch_iterator
 from ..parallel.mesh import (batch_sharding, create_mesh, param_shardings,
                              replicated, shard_params)
+from ..parallel.multihost import global_batch, replicate_to_mesh
 from ..utils.optim import (annealing_lr, build_optimizer, ema_update,
                            freeze_mask, scale_grads_by_mask)
 
@@ -142,6 +143,29 @@ def make_prepare_fn(cfg, autoencoder, clip_encoder):
     return prepare
 
 
+def plan_bucket_slots(cfg, dp: int):
+    """Rotation slots (frames, batch, fps), one per frame_lens position.
+
+    Duplicates in frame_lens encode the reference's sampling ratio
+    (frame_lens [1,16,16,16,16,32,32,32] = 1/8 image, 4/8 16-frame,
+    3/8 32-frame ranks) and each position gets its own
+    sample_fps[i % len] (reference train_t2v_enterance.py:100-104).
+    Identical (frames, batch) shapes share one compiled XLA program, so
+    repeated slots cost nothing extra to compile."""
+    frame_lens = list(cfg.frame_lens)
+    batch_sizes = {str(k): v for k, v in dict(cfg.batch_sizes).items()}
+    sample_fps = list(cfg.sample_fps) if cfg.get("sample_fps") else [8]
+    if cfg.get("max_frames"):
+        f0 = int(cfg.max_frames)
+        b0 = int(cfg.get("batch_size") or batch_sizes.get(str(f0), 1))
+        slots = [(f0, b0, int(sample_fps[1 % len(sample_fps)]))]
+    else:
+        slots = [(int(fl), int(batch_sizes.get(str(fl), 1)),
+                  int(sample_fps[i % len(sample_fps)]))
+                 for i, fl in enumerate(frame_lens)]
+    return [(f, max(b // dp, 1) * dp, fps) for f, b, fps in slots]
+
+
 @ENGINE.register_function()
 def train_t2v_entrance(cfg_update, **kwargs):
     cfg = merge_update(default_cfg(), cfg_update)
@@ -165,22 +189,8 @@ def train_worker(cfg):
     # under SPMD every device runs the same program, so the bucket list
     # becomes a deterministic rotation — one compiled step per
     # (frames, batch) shape, same steady-state shape mix.
-    frame_lens = list(cfg.frame_lens)
-    batch_sizes = {str(k): v for k, v in dict(cfg.batch_sizes).items()}
     dp = mesh.shape["data"] * mesh.shape["fsdp"]
-    if cfg.get("max_frames"):
-        bucket_shapes = [(int(cfg.max_frames),
-                          int(cfg.get("batch_size")
-                              or batch_sizes.get(str(cfg.max_frames), 1)))]
-    else:
-        seen = []
-        for fl in frame_lens:
-            bs = int(batch_sizes.get(str(fl), 1))
-            if (fl, bs) not in seen:
-                seen.append((fl, bs))
-        bucket_shapes = seen
-    bucket_shapes = [(f, max(b // dp, 1) * dp) for f, b in bucket_shapes]
-    max_frames, batch_size = bucket_shapes[min(1, len(bucket_shapes) - 1)]
+    bucket_slots = plan_bucket_slots(cfg, dp)
 
     clip_encoder, autoencoder, model, params, diffusion = _build_models(
         cfg, key, frames_example=2)
@@ -227,39 +237,78 @@ def train_worker(cfg):
     if ck_path and ck_step > resume_step and bool(cfg.get("auto_resume", True)):
         try:
             restored = restore_checkpoint(ck_path, None)
-            state["params"] = jax.tree.map(
-                lambda cur, new: jnp.asarray(new, cur.dtype),
-                state["params"], restored["params"])
+
+            def _like(cur, new):
+                # keep dtype AND sharding of the freshly-built state so an
+                # FSDP-sharded resume stays sharded; leave single-device
+                # leaves (optax scalars) uncommitted so jit may place them
+                arr = jnp.asarray(new, cur.dtype)
+                sh = getattr(cur, "sharding", None)
+                if sh is not None and not isinstance(
+                        sh, jax.sharding.SingleDeviceSharding):
+                    arr = jax.device_put(arr, sh)
+                return arr
+
+            state["params"] = jax.tree.map(_like, state["params"],
+                                           restored["params"])
             if use_ema and "ema" in restored:
-                state["ema"] = jax.tree.map(
-                    lambda cur, new: jnp.asarray(new, cur.dtype),
-                    state["ema"], restored["ema"])
+                state["ema"] = jax.tree.map(_like, state["ema"],
+                                            restored["ema"])
+            # optimizer state: restore the saved leaves into the freshly
+            # initialized structure so Adam moments and the optax count
+            # survive the restart (reference resumes optimizer+scaler,
+            # tools/basic_funcs/pretrain_functions.py:145-159)
+            if "opt_state" in restored:
+                leaves, treedef = jax.tree.flatten(state["opt_state"])
+                saved = [restored["opt_state"][f"leaf_{i:04d}"]
+                         for i in range(len(leaves))]
+                state["opt_state"] = jax.tree.unflatten(
+                    treedef, [_like(cur, s)
+                              for cur, s in zip(leaves, saved)])
+            else:
+                logger.warning("checkpoint has no opt_state — optimizer "
+                               "moments restart from zero")
             state["step"] = jnp.asarray(int(restored["step"]), jnp.int32)
             resume_step = int(restored["step"])
             logger.info("auto-resumed from %s (step %d)", ck_path, resume_step)
         except Exception as e:  # noqa: BLE001
             logger.warning("auto-resume failed (%s) — fresh start", e)
 
-    # ---- data: one iterator per bucket ------------------------------------
-    def make_bucket_iter(frames, bsz):
-        ds_cfg = dict(cfg.vid_dataset)
-        ds_cfg.setdefault("sample_fps",
-                          list(cfg.sample_fps)[1 % len(cfg.sample_fps)])
+    # ---- data: one iterator per rotation slot ------------------------------
+    def make_bucket_iter(slot_idx, frames, bsz, fps, skip=0):
+        # image slots (frames == 1) use the image dataset when configured,
+        # matching the reference's joint image/video training
+        ds_key = "img_dataset" if (frames == 1 and cfg.get("img_dataset")) \
+            else "vid_dataset"
+        ds_cfg = dict(cfg[ds_key])
+        ds_cfg.setdefault("sample_fps", fps)
         ds_cfg["max_frames"] = frames
         dataset = DATASETS.build(ds_cfg)
         if len(dataset) == 0:
-            logger.warning("vid_dataset empty — using SyntheticVideoDataset")
+            logger.warning("%s empty — using SyntheticVideoDataset", ds_key)
             dataset = SyntheticVideoDataset(resolution=cfg.resolution,
                                             max_frames=frames,
                                             vit_resolution=cfg.vit_resolution)
-        return batch_iterator(dataset, bsz, seed=int(cfg.seed) + frames)
+        # each host loads its slice of the global batch (the reference's
+        # DistributedSampler, train_t2v_enterance.py:125) — host-disjoint
+        # streams via a per-process seed offset
+        per_host = max(bsz // jax.process_count(), 1)
+        return batch_iterator(dataset, per_host,
+                              seed=(int(cfg.seed) + 131 * slot_idx + frames
+                                    + 7919 * jax.process_index()),
+                              skip_batches=skip)
 
-    bucket_iters = [make_bucket_iter(f, b) for f, b in bucket_shapes]
-    logger.info("train buckets (frames, batch): %s", bucket_shapes)
-    data_iter = bucket_iters[0]
+    # fast-forward each slot's batch stream to where an uninterrupted run
+    # would be at resume_step: slot i is used by steps {s : s % n == i}
+    n_slots = len(bucket_slots)
+    skips = [len(range(i, resume_step, n_slots)) for i in range(n_slots)]
+    bucket_iters = [make_bucket_iter(i, f, b, fps, skips[i])
+                    for i, (f, b, fps) in enumerate(bucket_slots)]
+    logger.info("train bucket slots (frames, batch, fps): %s", bucket_slots)
 
     # empty-prompt embedding for caption dropout (reference zero_y :136-139)
     _, _, zero_y = clip_encoder(text=[""])
+    zero_y = replicate_to_mesh(mesh, zero_y)  # host-identical -> global
 
     # ---- visual hook (reference :271-289) ----------------------------------
     viz = None
@@ -279,10 +328,12 @@ def train_worker(cfg):
         data_iter = bucket_iters[step % len(bucket_iters)]
         batch = next(data_iter)
         tokens = clip_encoder.tokenize(batch["captions"])
-        video = jax.device_put(jnp.asarray(batch["video_data"]), bsh)
-        tokens = jax.device_put(tokens, bsh)
+        video = global_batch(mesh, batch["video_data"])
+        tokens = global_batch(mesh, tokens)
 
-        key, k1, k2 = jax.random.split(key, 3)
+        # per-step key derived from (base key, step) — NOT chained — so a
+        # resumed run replays the exact RNG stream of an uninterrupted run
+        k1, k2 = jax.random.split(jax.random.fold_in(key, step))
         x0, y_words = prepare(autoencoder.params, clip_encoder.params,
                               video, tokens, k1)
         state, metrics = train_step(state, x0, y_words, zero_y, k2)
@@ -300,7 +351,9 @@ def train_worker(cfg):
                         step=step, captions=batch["captions"])
             except Exception as e:  # noqa: BLE001 (reference wraps in try)
                 logger.warning("visual hook failed: %s", e)
-        if step % save_interval == 0 and jax.process_index() == 0:
+        if step % save_interval == 0:
+            # all processes participate: orbax coordinates multi-host
+            # writes of sharded arrays (process 0 alone would deadlock)
             save_checkpoint(log_dir, state, use_ema)
 
     logger.info("Congratulations! The training is completed!")
@@ -342,6 +395,13 @@ def save_checkpoint(log_dir: str, state, use_ema: bool):
         payload = {"params": state["params"], "step": int(state["step"])}
         if use_ema:
             payload["ema"] = state["ema"]
+        # opt_state as flat named leaves: its pytree structure (optax
+        # NamedTuples, MaskedNode) isn't orbax-serializable, but the leaf
+        # list is; restore unflattens with a freshly init'd treedef
+        if "opt_state" in state:
+            leaves = jax.tree.leaves(state["opt_state"])
+            payload["opt_state"] = {f"leaf_{i:04d}": l
+                                    for i, l in enumerate(leaves)}
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         logger.info("saved checkpoint %s", path)

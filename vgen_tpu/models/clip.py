@@ -45,6 +45,12 @@ ARCHS = {
                           text=dict(width=64, heads=2, layers=2),
                           vision=dict(width=64, heads=2, layers=2, patch=16,
                                       image_size=32)),
+    # smallest possible towers for multi-process CPU tests, where two
+    # processes share one core and compile time dominates
+    "ViT-micro-test": dict(embed_dim=32,
+                           text=dict(width=32, heads=2, layers=1),
+                           vision=dict(width=32, heads=2, layers=1, patch=16,
+                                       image_size=32)),
 }
 
 _VOCAB_SEARCH_PATHS = (

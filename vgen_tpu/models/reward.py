@@ -41,7 +41,8 @@ class DiffRewardModel:
                  exponential_TSN: bool = True, lambda_TAR: float = 1.0,
                  reward_weights=None, ST_reward_weights=None,
                  data_align_method=None, data_align_coef: float = 10.0,
-                 adv_clip_max: float = 5.0, **kwargs):
+                 adv_clip_max: float = 5.0, temporal_reward_type=None,
+                 motion_rep=None, **kwargs):
         self.cfg = cfg
         self.clip = clip_encoder
         self.autoencoder = autoencoder
@@ -55,6 +56,17 @@ class DiffRewardModel:
         self.data_align_method = data_align_method
         self.data_align_coef = data_align_coef
         self.adv_clip_max = adv_clip_max
+        # temporal reward: the reference scaffolds this (motion trackers,
+        # cfg.motion_rep='SSIM', cfg.temporal_reward_type=['mean','std'])
+        # but stubs the term to 0 (reward.py:202 advantages_motion = 0);
+        # here it is implemented: high mean SSIM between consecutive
+        # frames is rewarded ('mean'), jitter (SSIM std) is penalized
+        # ('std') — differentiable, so it shapes gradients like the
+        # spatial term does.
+        self.temporal_reward_type = list(
+            temporal_reward_type
+            or cfg.get("temporal_reward_type", []) or [])
+        self.motion_rep = motion_rep or cfg.get("motion_rep")
         self.vit_hw = tuple(cfg.get("vit_resolution", (224, 224)))[::-1] \
             if isinstance(cfg.get("vit_resolution"), (list, tuple)) else (224, 224)
 
@@ -72,11 +84,11 @@ class DiffRewardModel:
             raise NotImplementedError(self.selection_method)
         return jnp.clip(idx, 0, f - 1)
 
-    def reward_scorer(self, key, tokens, denoised_x0, loss_recon=None,
-                      t_round=None):
-        """Differentiable reward loss from denoised latents
-        (reference :128-231). denoised_x0: [b, f, lh, lw, 4] latents;
-        tokens: [b, 77] CLIP tokens. Returns scalar loss."""
+    def video_scores(self, key, tokens, denoised_x0):
+        """Differentiable per-video scores from denoised latents
+        (reference :128-198). denoised_x0: [b, f, lh, lw, 4] latents;
+        tokens: [b, 77] CLIP tokens. Returns a dict with the spatial
+        CLIP score [b] and (when configured) SSIM motion stats [b]."""
         scale_factor = float(self.cfg.scale_factor)
         video = denoised_x0 / scale_factor
         b, f = video.shape[0], video.shape[1]
@@ -87,8 +99,8 @@ class DiffRewardModel:
         # denormalize to [0,1] then CLIP space (reference :147-152)
         mean = jnp.asarray(self.cfg.get("mean", (0.5,) * 3))
         std = jnp.asarray(self.cfg.get("std", (0.5,) * 3))
-        frames = jnp.clip(frames * std + mean, 0.0, 1.0)
-        frames = resize_bilinear(frames, self.vit_hw)
+        raw01 = jnp.clip(frames * std + mean, 0.0, 1.0)
+        frames = resize_bilinear(raw01, self.vit_hw)
         frames = (frames - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
         frames = frames.reshape((b, f) + frames.shape[1:])
 
@@ -110,9 +122,33 @@ class DiffRewardModel:
         if self.exponential_TSN:  # TAR weighting (reference :174-176)
             coef = jnp.exp(-jnp.abs(idx - f // 2) * self.lambda_TAR)
             diag = coef * diag
-        scores = diag.mean(axis=1)  # [b]
+        out = {"scores": diag.mean(axis=1)}  # [b]
 
-        advantages = self.ST_reward_weights["spatial"] * (1.0 - scores)
+        if self.motion_rep == "SSIM" and self.temporal_reward_type:
+            m, s = ssim_consecutive(raw01.reshape((b, f) + raw01.shape[1:]))
+            out["ssim_mean"], out["ssim_std"] = m, s
+        return out
+
+    def motion_advantages(self, scores: dict):
+        """SSIM motion advantage [b] (0 when not configured): low
+        smoothness and high jitter are penalized ('Ensure that SSIM is
+        generally high', reference reward.py:634)."""
+        adv = 0.0
+        if "ssim_mean" in scores and "mean" in self.temporal_reward_type:
+            adv = adv + (1.0 - scores["ssim_mean"])
+        if "ssim_std" in scores and "std" in self.temporal_reward_type:
+            adv = adv + scores["ssim_std"]
+        return adv
+
+    def reward_scorer(self, key, tokens, denoised_x0, loss_recon=None,
+                      t_round=None):
+        """Differentiable reward loss (reference :128-231). Returns a
+        scalar: spatial (1-score) + temporal motion advantages, optionally
+        modulated by the ddpm recon degree."""
+        sc = self.video_scores(key, tokens, denoised_x0)
+        advantages = (self.ST_reward_weights["spatial"] * (1.0 - sc["scores"])
+                      + self.ST_reward_weights["temporal"]
+                      * self.motion_advantages(sc))
         if self.data_align_method == "ddpm" and loss_recon is not None:
             coef = jnp.exp(-self.data_align_coef
                            * jax.lax.stop_gradient(loss_recon))
@@ -153,30 +189,90 @@ class PerPromptStatTracker:
                 for k, v in self.stats.items()}
 
 
+def ssim_consecutive(frames: jnp.ndarray, win: int = 7):
+    """Per-video mean/std of windowed SSIM between consecutive frames.
+
+    Differentiable analog of the reference's skimage-based smoothness
+    metric (reference reward.py:616-644): frames [b, f, h, w, 3] in
+    [0, 1] -> grayscale -> uniform win x win local SSIM averaged per
+    frame pair -> (mean over pairs [b], std over pairs [b])."""
+    lum = jnp.asarray([0.299, 0.587, 0.114])
+    g = (frames * lum).sum(-1)                       # [b, f, h, w]
+    b, f = g.shape[0], g.shape[1]
+    x = g[:, :-1].reshape(b * (f - 1), *g.shape[2:], 1)
+    y = g[:, 1:].reshape(b * (f - 1), *g.shape[2:], 1)
+
+    def blur(v):
+        import jax.lax as lax
+        return lax.reduce_window(v, 0.0, lax.add,
+                                 (1, win, win, 1), (1, 1, 1, 1),
+                                 "VALID") / (win * win)
+
+    mu_x, mu_y = blur(x), blur(y)
+    var_x = blur(x * x) - mu_x ** 2
+    var_y = blur(y * y) - mu_y ** 2
+    cov = blur(x * y) - mu_x * mu_y
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)) / (
+        (mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2))
+    per_pair = ssim.reshape(b, f - 1, -1).mean(axis=-1)  # [b, f-1]
+    return per_pair.mean(axis=1), per_pair.std(axis=1)
+
+
 class RWRRewardModel(DiffRewardModel):
-    """Reward-weighted regression variant (reference reward.py:234+):
-    exp(reward/beta)-weighted diffusion loss."""
-
-    def __init__(self, *args, rwr_beta: float = 1.0, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.rwr_beta = rwr_beta
-
-    def weights(self, key, tokens, denoised_x0):
-        loss = self.reward_scorer(key, tokens, denoised_x0)
-        reward = 1.0 - loss  # scorer returns (1 - score)-style loss
-        return jnp.exp(reward / self.rwr_beta)
-
-
-class DDPORewardModel(DiffRewardModel):
-    """DDPO policy-gradient variant (reference reward.py:427+) with
-    per-prompt advantage normalization."""
+    """Reward-weighted regression variant (reference reward.py:234-412):
+    per-sample advantages (raw CLIP scores, :401) weight the diffusion
+    recon loss — reward_loss = (advantages * loss_recon).mean() (:406)."""
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self.stat_tracker = PerPromptStatTracker()
+
+    def reward_scorer(self, key, tokens, denoised_x0, loss_recon=None,
+                      t_round=None):
+        assert loss_recon is not None, "RWR weights the recon loss"
+        sc = self.video_scores(key, tokens, jax.lax.stop_gradient(
+            denoised_x0))
+        # RWR: advantages carry NO gradient (decode under no_grad,
+        # reference :342); only loss_recon is differentiated
+        adv = (self.ST_reward_weights["spatial"] * sc["scores"]
+               + self.ST_reward_weights["temporal"]
+               * self.motion_advantages(sc))
+        adv = jax.lax.stop_gradient(adv)
+        reward_loss = (adv * loss_recon).mean()
+        reward_loss = jnp.clip(reward_loss, -self.adv_clip_max,
+                               self.adv_clip_max)
+        return self.reward_weights["reward"] * reward_loss
+
+
+class DDPORewardModel(DiffRewardModel):
+    """DDPO policy-gradient variant (reference reward.py:427-614):
+    non-differentiable rollout scores -> per-prompt normalized, clipped
+    advantages (host-side tracker, :601-607); the engine multiplies them
+    with re-evaluated step log-probs."""
+
+    def __init__(self, *args, reward_normalization: bool = True,
+                 buffer_size: int = 16, min_count: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.reward_normalization = reward_normalization
+        self.stat_tracker = PerPromptStatTracker(buffer_size, min_count)
+
+    def rollout_scores(self, key, tokens, denoised_x0):
+        """Raw per-video scores (no grad) for a sampled rollout."""
+        sc = self.video_scores(key, tokens,
+                               jax.lax.stop_gradient(denoised_x0))
+        return jax.lax.stop_gradient(
+            self.ST_reward_weights["spatial"] * sc["scores"]
+            + self.ST_reward_weights["temporal"]
+            * self.motion_advantages(sc))
 
     def advantages(self, prompts, rewards):
-        return self.stat_tracker.update(prompts, np.asarray(rewards))
+        """Host-side normalization (reference :601-605 uses a single ''
+        bucket when prompts are untracked)."""
+        rewards = np.asarray(rewards)
+        if not self.reward_normalization:
+            return rewards
+        adv = self.stat_tracker.update(prompts, rewards)
+        return np.clip(adv, -self.adv_clip_max, self.adv_clip_max)
 
 
 def ssim_smoothness(frames: jnp.ndarray) -> jnp.ndarray:
