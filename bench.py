@@ -151,6 +151,93 @@ def bench_base(peak: float) -> dict:
 
 
 # --------------------------------------------------------------------- #
+# record 4: fused train step at the reference training shape
+# --------------------------------------------------------------------- #
+def bench_train(peak: float) -> dict:
+    """s/it + MFU of the fused t2v train step (VERDICT r1 #5 'done'
+    criterion): 16 frames @ 448x256 latents (the reference per-GPU shape,
+    configs/t2v_train.yaml:66-72), largest batch that fits ONE chip.
+
+    Single-chip memory note: a 1.4B-param UNet with f32 AdamW moments +
+    EMA is ~22 GB — a multi-chip FSDP config (see dryrun_multichip).
+    On one 16 GB chip this record uses adafactor without EMA (the
+    reference registers adafactor too, utils/optim/adafactor.py)."""
+    from vgen_tpu.core import DIFFUSION, MODEL, default_cfg
+    from vgen_tpu.engines.train_t2v import make_train_step
+    from vgen_tpu.utils.optim import adafactor, annealing_lr
+
+    cfg = default_cfg()
+    cfg.update({"max_frames": 16, "resolution": [448, 256],
+                "p_zero": 0.1, "ema_decay": 0.9999, "use_div_loss": False})
+    cfg.UNet = dict(cfg.UNet, type="UNetSD_T2VBase", out_dim=4,
+                    use_checkpoint=True, dtype=jnp.bfloat16)
+
+    model = MODEL.build(dict(cfg.UNet), training=True)
+    diffusion = DIFFUSION.build(dict(cfg.Diffusion))
+
+    f, lh, lw = 16, 256 // 8, 448 // 8
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.zeros((1, 2, lh, lw, 4))
+    params = jax.jit(lambda: model.init(
+        {"params": key, "dropout": key}, x0s, jnp.zeros((1,), jnp.int32),
+        y=jnp.zeros((1, 77, 1024))))()
+
+    optimizer = adafactor(annealing_lr(5e-5, 10, 1000, "cosine"))
+    train_step = make_train_step(cfg, model, diffusion, optimizer,
+                                 use_ema=False)
+    zero_y = jnp.zeros((1, 77, 1024))
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", 5))
+
+    last_err = None
+    for b in (4, 2, 1):  # reference batch at 16f is 4/GPU; fall back
+        try:
+            state = {"params": params,
+                     "opt_state": optimizer.init(params),
+                     "step": jnp.zeros((), jnp.int32)}
+            x0 = jax.random.normal(jax.random.PRNGKey(1), (b, f, lh, lw, 4))
+            y = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 1024)) * 0.02
+
+            t0 = time.time()
+            compiled = train_step.lower(state, x0, y, zero_y, key).compile()
+            log(f"train-step b{b} compile {time.time() - t0:.0f}s")
+            flops = compiled_flops(compiled)  # one program, no scan: exact
+
+            # donated state: thread it through the timing loop
+            state, _ = compiled(state, x0, y, zero_y, key)  # warmup
+            jax.block_until_ready(state)
+            t0 = time.time()
+            for _ in range(iters):
+                state, metrics = compiled(state, x0, y, zero_y, key)
+            jax.block_until_ready(state)
+            sec = (time.time() - t0) / iters
+            del state, compiled
+            gc.collect()
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            log(f"train-step batch {b} failed ({type(e).__name__}) — "
+                f"trying smaller")
+            gc.collect()
+    else:
+        raise last_err
+
+    mfu = flops / sec / peak if np.isfinite(flops) else float("nan")
+    log(f"train step: b{b} {sec:.3f} s/it, {flops/1e12:.1f} TFLOP, "
+        f"MFU {mfu:.3f}")
+    return {
+        "name": f"train_step_448x256_b{b}",
+        "metric": f"fused train step s/it @ 16f 448x256 batch {b} "
+                  "(fwd+bwd+adafactor, bf16, remat)",
+        "value": round(sec, 3), "unit": "s/it",
+        "batch": b,
+        "tflop_per_step": round(flops / 1e12, 2),
+        "tflops_per_sec": round(flops / sec / 1e12, 2),
+        "mfu": round(mfu, 4),
+        "samples_per_sec_per_chip": round(b / sec, 3),
+    }
+
+
+# --------------------------------------------------------------------- #
 # records 2+3: 720p i2vgen + two-stage
 # --------------------------------------------------------------------- #
 def _load_yaml(path):
@@ -193,7 +280,8 @@ def _build_i2vgen(dtype):
 
 
 def bench_720p(peak: float):
-    """Returns (record2, record3)."""
+    """Returns [record2, record3] — records appended as they complete so
+    a stage-2 failure can't lose the stage-1 measurement."""
     dtype = jnp.bfloat16
     f, lh, lw = 16, 704 // 8, 1280 // 8
     guide_scale = 9.0
@@ -248,6 +336,16 @@ def bench_720p(peak: float):
     t0 = time.time()
     dn = jax.jit(denoise_segment).lower(*seg_args).compile()
     log(f"i2vgen 720p denoise-segment compile {time.time() - t0:.0f}s")
+    try:
+        ma = dn.memory_analysis()
+        mem_gb = {
+            "temp_gb": round(ma.temp_size_in_bytes / 1e9, 2),
+            "args_gb": round(ma.argument_size_in_bytes / 1e9, 2),
+            "out_gb": round(ma.output_size_in_bytes / 1e9, 2),
+        }
+        log(f"i2vgen 720p segment memory: {mem_gb}")
+    except Exception:  # noqa: BLE001
+        mem_gb = None
 
     # warmup one segment, then time the full 50-step chain
     jax.block_until_ready(dn(*seg_args))
@@ -280,6 +378,7 @@ def bench_720p(peak: float):
         "sec_per_50step_denoise": round(t_denoise, 2),
         "tflop": round(dn_flops / 1e12, 1),
         "mfu": round(mfu, 4),
+        "segment_memory": mem_gb,  # compiled XLA memory (16 GB budget)
     }
 
     t0 = time.time()
@@ -290,33 +389,43 @@ def bench_720p(peak: float):
     frames_np = np.asarray(frames, np.float32)
     log(f"i2vgen 720p decode: {t_decode:.1f}s, frames {frames_np.shape}")
 
-    # free stage-1 UNet before building SR600 (two 1.4B UNets + 720p
-    # activation temps don't fit 16 GB together)
-    del params, dn, latents, model, fwd
+    # free ALL stage-1 device state before building SR600 (two 1.4B UNets
+    # + 720p activation temps don't fit 16 GB together). seg_args/xt hold
+    # references to params — every one must go.
+    del params, dn, dec, latents, model, fwd, frames, xt, xt0, seg_args
+    del local_image
     gc.collect()
+    live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
+    log(f"live device bytes after stage-1 teardown: {live_gb:.2f} GB")
 
+    try:
+        rec3 = bench_sr600(peak, frames_np, autoencoder, y_words,
+                           t_denoise, t_decode, dtype)
+    except Exception as e:  # noqa: BLE001
+        log(f"sr600 stage failed: {type(e).__name__}: {e}")
+        rec3 = {"name": "two_stage_720p",
+                "error": f"{type(e).__name__}: {e}"}
+    return rec2, rec3
+
+
+def bench_sr600(peak, frames_np, autoencoder, y_words, t_denoise, t_decode,
+                dtype):
     # ---- stage 2: sr600 -----------------------------------------------
     t_host0 = time.time()
-    from PIL import Image
-
-    from vgen_tpu.data import transforms as T
-    # denormalize -> uint8 -> double frames -> 720p resize -> normalize
-    # (the real pipeline goes through an mp4; codec time ~1s/32f excluded)
+    # denormalize -> uint8 -> double frames on host (cheap numpy); the
+    # 720p bilinear resize + normalize run ON DEVICE inside encode
+    # (the real pipeline also goes through an mp4; codec ~1s/32f excluded)
     u8 = np.clip((frames_np * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
-    u8 = np.repeat(u8, 2, axis=0)  # double_frames_sr (reference :105-110)
-    resized = np.stack([
-        np.asarray(Image.fromarray(fr).resize((1280, 720), Image.BILINEAR))
-        for fr in u8])
-    sr_in = T.normalize(T.to_tensor(resized), [0.5] * 3, [0.5] * 3)
+    sr_in = np.repeat(u8, 2, axis=0)  # double_frames_sr (reference :105-110)
     t_host = time.time() - t_host0
-    log(f"host double+resize: {t_host:.1f}s")
+    log(f"host denorm+double: {t_host:.1f}s")
 
     from vgen_tpu.core import DIFFUSION, MODEL, default_cfg
     from vgen_tpu.engines.infer_sr600 import load_lowres_latent_fn, make_sr_fn
 
     sr_yaml = _load_yaml("configs/sr600_infer.yaml")
     sr_cfg = default_cfg()
-    sr_cfg.update({"chunk_size": 4, "decoder_bs": 4,
+    sr_cfg.update({"chunk_size": 2, "decoder_bs": 4,
                    "resolution": [1280, 720], "total_noise_levels": 700,
                    "use_zero_infer": False})
     sr_cfg.UNet = dict(sr_yaml["UNet"])
@@ -326,11 +435,18 @@ def bench_720p(peak: float):
     sr_diffusion = DIFFUSION.build(dict(sr_cfg.Diffusion))
     slh, slw = 720 // 8, 1280 // 8
     x0 = jnp.zeros((1, 2, slh, slw, 4))
-    sr_params = jax.jit(lambda: sr_model.init(
-        jax.random.PRNGKey(3), x0, jnp.zeros((1,), jnp.int32),
-        y=jnp.zeros((1, 77, 1024))))()
-    sr_params = jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, sr_params)
+
+    def _init_bf16():
+        # init + cast in ONE program so the f32 leaves are XLA temps —
+        # holding f32 (5.6 GB) AND bf16 (2.8 GB) copies of a 1.4B-param
+        # UNet is what OOM'd the stage-2 encode
+        p = sr_model.init(jax.random.PRNGKey(3), x0,
+                          jnp.zeros((1,), jnp.int32),
+                          y=jnp.zeros((1, 77, 1024)))
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, p)
+
+    sr_params = jax.jit(_init_bf16)()
 
     encode = load_lowres_latent_fn(sr_cfg, autoencoder)
     super_resolve = make_sr_fn(sr_cfg, sr_model, autoencoder, sr_diffusion)
@@ -384,7 +500,7 @@ def bench_720p(peak: float):
         # minutes", README.MD:168) => < 60 s clears the bar
         "vs_baseline": round(180.0 / total, 2),
     }
-    return rec2, rec3
+    return rec3
 
 
 def main():
@@ -392,6 +508,17 @@ def main():
 
     peak = peak_flops()
     records = [bench_base(peak)]
+    gc.collect()  # drop each record's device state before the next
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            records.append(bench_train(peak))
+        except Exception as e:  # noqa: BLE001
+            log(f"train record failed: {type(e).__name__}: {e}")
+            records.append({"name": "train_step",
+                            "error": f"{type(e).__name__}: {e}"})
+        gc.collect()
+        live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
+        log(f"live device bytes after train record: {live_gb:.2f} GB")
     if not os.environ.get("BENCH_SKIP_720P"):
         try:
             rec2, rec3 = bench_720p(peak)

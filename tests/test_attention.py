@@ -8,7 +8,7 @@ import pytest
 
 from vgen_tpu.ops import attention
 from vgen_tpu.ops.attention import (_attention_bhsd, _dense_fwd, _flash_bwd,
-                                    flash_attention_tpu)
+                                    _flash_bwd_tpu, flash_attention_tpu)
 
 
 def naive(q, k, v, scale):
@@ -64,6 +64,37 @@ def test_flash_backward_matches_autodiff():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_e), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_e), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_e), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("sq,sk,bq,bk", [
+    (256, 256, 128, 128),   # exact tiling
+    (300, 300, 128, 128),   # ragged q AND k padding
+    (128, 515, 128, 256),   # ragged k only
+    (1792, 1792, 256, 512), # the UNet hot shape, default-ish blocks
+])
+def test_flash_bwd_pallas_interpret_matches_autodiff(sq, sk, bq, bk):
+    """The Pallas backward kernels (dkdv + dq) vs autodiff through the
+    naive oracle, interpret mode (runs on CPU)."""
+    rng = np.random.RandomState(5)
+    d = 64
+    q = jnp.asarray(rng.randn(2, sq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, sk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, sk, d).astype(np.float32))
+    do = jnp.asarray(rng.randn(2, sq, d).astype(np.float32))
+    scale = d ** -0.5
+
+    _, vjp = jax.vjp(lambda q, k, v: naive(q, k, v, scale), q, k, v)
+    dq_e, dk_e, dv_e = vjp(do)
+
+    o, lse = _dense_fwd(q, k, v, scale)
+    dq, dk, dv = _flash_bwd_tpu(q, k, v, o, lse, do, scale, bq=bq, bk=bk,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_e),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_e),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_e),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_custom_vjp_end_to_end():

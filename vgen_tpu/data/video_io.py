@@ -122,8 +122,17 @@ def save_video_with_caption(frames_or_tensor, caption: str, path: str,
 
 def read_video_frames(path: str, max_frames: int = -1,
                       sample_fps: Optional[float] = None) -> np.ndarray:
-    """Decode a video to [f, h, w, 3] uint8 RGB via cv2 (the reference's
-    dataset decode path, tools/datasets/video_dataset.py:62-94)."""
+    """Decode a video to [f, h, w, 3] uint8 RGB (the reference's dataset
+    decode path, tools/datasets/video_dataset.py:62-94). Uses the native
+    C++ pipeline (native/video_decode.cc — whole-video decode in one
+    GIL-free call) when built, else Python cv2."""
+    from .native_decode import read_video_frames_native
+    try:
+        frames = read_video_frames_native(path, max_frames, sample_fps)
+        if frames is not None:
+            return frames
+    except IOError:
+        pass  # fall through to cv2 (codec coverage can differ)
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise IOError(f"cannot open video {path}")

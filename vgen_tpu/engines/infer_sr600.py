@@ -24,12 +24,10 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
 from ..core import (AUTO_ENCODER, DIFFUSION, EMBEDDER, INFER_ENGINE, MODEL,
                     assign_signle_cfg, default_cfg, merge_update,
                     setup_logging, setup_seed)
-from ..data import transforms as T
 from ..data.video_io import read_video_frames, save_video
 from ..diffusion.gauss import guided_out
 from ..utils.ckpt import load_model_weights
@@ -38,15 +36,30 @@ logger = logging.getLogger(__name__)
 
 
 def load_lowres_latent_fn(cfg, autoencoder):
-    """VAE-encode resized frames in chunks, one jitted program
-    (reference load_video_frames + chunked encode, :95-134)."""
+    """normalize -> bilinear 720p resize -> chunked VAE encode, one
+    jitted program (reference load_video_frames + F.interpolate + chunked
+    encode, :95-134). The resize runs ON DEVICE (the reference does it on
+    GPU too, :117); frames arrive as uint8 at the stage-1 resolution —
+    1/4 the host->device bytes of pre-normalized f32."""
     chunk = int(cfg.chunk_size)
     scale_factor = float(cfg.scale_factor)
+    target = cfg.get("sr_resolution", cfg.resolution)
+    target_w, target_h = int(target[0]), int(target[1])
+    mean = tuple(float(m) for m in cfg.get("mean", (0.5, 0.5, 0.5)))
+    std = tuple(float(s) for s in cfg.get("std", (0.5, 0.5, 0.5)))
 
     @jax.jit
     def encode(vae_params, frames, key):
         from ..models.autoencoder import DiagonalGaussianDistribution
         f, h, w, c = frames.shape
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
+            frames = (frames - jnp.asarray(mean)) / jnp.asarray(std)
+        if (h, w) != (target_h, target_w):
+            # torch F.interpolate(bilinear, align_corners=False) semantics
+            frames = jax.image.resize(
+                frames, (f, target_h, target_w, c), "bilinear")
+        h, w = target_h, target_w
         cs = chunk if f % chunk == 0 else f
         chunks = frames.reshape(f // cs, cs, h, w, c)
         moments = jax.lax.map(
@@ -250,8 +263,6 @@ def inference_sr600_entrance(cfg_update, **kwargs):
     test_list = [item for item in test_list
                  for _ in range(int(cfg.get("round", 1)))]
 
-    target_h = int(cfg.get("sr_resolution", [1280, 720])[1])
-    target_w = int(cfg.get("sr_resolution", [1280, 720])[0])
     double_frames = bool(cfg.get("double_frames_sr", False))
 
     outputs = []
@@ -282,18 +293,15 @@ def inference_sr600_entrance(cfg_update, **kwargs):
         frames_u8 = read_video_frames(src)
         if double_frames:  # x2 frames by repetition (reference :105-110)
             frames_u8 = np.repeat(frames_u8, 2, axis=0)
-        # bilinear resize to 720p + normalize (reference :117)
-        frames = np.stack([
-            np.asarray(Image.fromarray(fr).resize((target_w, target_h),
-                                                  Image.BILINEAR))
-            for fr in frames_u8])
-        frames = T.normalize(T.to_tensor(frames), cfg.mean, cfg.std)
+        # normalize + bilinear 720p resize happen ON DEVICE inside
+        # encode_lowres (reference resizes on GPU too, :117)
 
         _, _, y_words = clip_encoder(text=[caption + positive])
 
         key, k1, k2 = jax.random.split(key, 3)
         t0 = time.time()
-        latents = encode_lowres(autoencoder.params, jnp.asarray(frames), k1)
+        latents = encode_lowres(autoencoder.params, jnp.asarray(frames_u8),
+                                k1)
         hi = super_resolve(unet_params, autoencoder.params, latents,
                            y_words, zero_y, k2)
         hi = jax.block_until_ready(hi)
