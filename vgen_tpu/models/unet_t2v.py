@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -73,6 +74,12 @@ class UNetSD_T2VBase(nn.Module):
     lora_alpha: Optional[float] = None
     training: bool = False
     dtype: Optional[Any] = None
+    # remat save policy: None (recompute everything inside each block),
+    # "dots" (save every dot_general output — projections/FF matmuls are
+    # stored, not recomputed in the backward), or "dots_no_batch"
+    # (jax checkpoint_dots_with_no_batch_dims_saveable). Trades HBM for
+    # backward-pass FLOPs; measure per workload (tools_dev/profile_train).
+    remat_policy: Optional[str] = None
 
     def setup(self):
         self._setup_embeddings()
@@ -98,10 +105,20 @@ class UNetSD_T2VBase(nn.Module):
 
         # frames is a static python int — keep it out of remat tracing
         # (static_argnums counts self, so frames is arg 3)
-        RB = nn.remat(ResBlock, static_argnums=(3,)) \
+        policies = {
+            None: None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch":
+                jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        }
+        pol = policies[self.remat_policy]
+        kw = {"policy": pol} if pol is not None else {}
+        RB = nn.remat(ResBlock, static_argnums=(3,), **kw) \
             if self.use_checkpoint else ResBlock
-        ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
-        TT = nn.remat(TemporalTransformer) if self.use_checkpoint else TemporalTransformer
+        ST = nn.remat(SpatialTransformer, **kw) \
+            if self.use_checkpoint else SpatialTransformer
+        TT = nn.remat(TemporalTransformer, **kw) \
+            if self.use_checkpoint else TemporalTransformer
 
         def spatial(ch):
             return ST(heads=ch // self.head_dim, dim_head=self.head_dim,

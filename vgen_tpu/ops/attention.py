@@ -311,8 +311,13 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
 
 def _flash_bwd_tpu(q, k, v, o, lse, do, scale: float, bq: int = 256,
-                   bk: int = 512, interpret: bool = False):
-    """Pallas flash backward. q,k,v,o,do: [BH,S,D]; lse [BH,Sq] f32."""
+                   bk: int = 2048, interpret: bool = False):
+    """Pallas flash backward. q,k,v,o,do: [BH,S,D]; lse [BH,Sq] f32.
+
+    bk defaults to full-K (capped 2048), mirroring the forward kernel's
+    tuning: at the UNet hot shape (BH=320, S=1792, bf16) the on-chip
+    sweep gives 22.6 ms at (256,512) vs 15.1 ms at (256,2048) — 2.24x
+    the jnp nested-scan backward (tools_dev/profile_attn_bwd_sweep.py)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     bq = min(bq, _ceil_to(sq, 128))
