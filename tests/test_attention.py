@@ -8,7 +8,8 @@ import pytest
 
 from vgen_tpu.ops import attention
 from vgen_tpu.ops.attention import (_attention_bhsd, _dense_fwd, _flash_bwd,
-                                    _flash_bwd_tpu, flash_attention_tpu)
+                                    _flash_bwd_tpu, _tiny_bwd_tpu,
+                                    _tiny_fwd_tpu, flash_attention_tpu)
 
 
 def naive(q, k, v, scale):
@@ -89,6 +90,42 @@ def test_flash_bwd_pallas_interpret_matches_autodiff(sq, sk, bq, bk):
     o, lse = _dense_fwd(q, k, v, scale)
     dq, dk, dv = _flash_bwd_tpu(q, k, v, o, lse, do, scale, bq=bq, bk=bk,
                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_e),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_e),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_e),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("bh,s", [
+    (16, 16),    # exact pack (P=8, two tiles)
+    (19, 16),    # ragged batch padding
+    (8, 32),     # P=4
+    (7, 12),     # S not a divisor of 128 (P=10, 120-row tiles)
+    (5, 1),      # single-frame (image batches)
+])
+def test_tiny_kernel_interpret_matches_dense(bh, s):
+    """Packed tiny-seq kernel (temporal attention) vs the dense oracle,
+    forward + backward, interpret mode."""
+    rng = np.random.RandomState(6)
+    d = 64
+    q = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    do = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    scale = d ** -0.5
+
+    o, lse = _tiny_fwd_tpu(q, k, v, scale, interpret=True)
+    o_ref, lse_ref = _dense_fwd(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    _, vjp = jax.vjp(lambda q, k, v: naive(q, k, v, scale), q, k, v)
+    dq_e, dk_e, dv_e = vjp(do)
+    dq, dk, dv = _tiny_bwd_tpu(q, k, v, o, lse, do, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_e),
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_e),

@@ -166,6 +166,187 @@ def _dense_fwd(q, k, v, scale: float):
 
 
 # --------------------------------------------------------------------------- #
+# tiny-sequence kernel (temporal attention): pack batch into the lanes
+# --------------------------------------------------------------------------- #
+# Temporal self-attention has S = frames (<= 32) and a huge batch
+# (b*h*w*heads). XLA's batched-dot path pads the [BH, S, S] scores to
+# (8, 128) tiles — 8x HBM expansion at S=16 — and materializes them on
+# both sides of the softmax (matmul outputs can't fuse on TPU). Measured:
+# 1.19 ms at [17920, 16, 64] bf16 — ~1 TF/s of useful work.
+#
+# This kernel packs P = 128 // S batch items into one 128-row tile, so
+# the scores block is a dense [P*S, P*S] VMEM tile that never touches
+# HBM. The cross-item score entries are computed (MXU is idle otherwise)
+# and masked to -inf: softmax over a row then only sees its own item's
+# band, and the p @ v matmul is exact because off-band p is 0. The
+# backward reuses the packing: all three grads come from one tile-local
+# kernel (no cross-tile reductions).
+
+
+def _tiny_block_mask(ps: int, s: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 0) // s
+    c = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 1) // s
+    return r == c
+
+
+def _tiny_band_softmax(sc, pack: int, s: int):
+    """Softmax over the block-diagonal band of a packed [pack*s, pack*s]
+    score tile: off-band entries are masked to -inf, so each row's
+    softmax sees only its own item's s keys and off-band p is exactly 0.
+    Returns (p_full [ps, ps], m [ps, 1], l [ps, 1]).
+
+    (A compacted-band variant that runs the exp on [pack, s, s] — 8x
+    fewer lanes — needs 2D<->4D shape casts Mosaic rejects
+    ('infer-vector-layout: unsupported shape cast'); the masked full
+    tile is the Mosaic-compatible form.)"""
+    ps = pack * s
+    scm = jnp.where(_tiny_block_mask(ps, s), sc, _NEG_INF)
+    m = scm.max(axis=-1, keepdims=True)
+    e = jnp.exp(scm - m)
+    l = e.sum(axis=-1, keepdims=True)
+    return e / l, m, l
+
+
+def _tiny_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                     s: int, pack: int):
+    """Block holds T groups of `pack` items; the static python loop
+    unrolls T group-bodies back-to-back in one program so the per-grid
+    DMA/dispatch overhead amortizes (one group per program measured
+    SLOWER than the XLA dense path)."""
+    pt, s_, d = q_ref.shape
+    ps = pack * s_
+    for t in range(pt // pack):
+        sl = slice(t * pack, (t + 1) * pack)
+        q = q_ref[sl].reshape(ps, d)
+        k = k_ref[sl].reshape(ps, d)
+        v = v_ref[sl].reshape(ps, d)
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p, m, l = _tiny_band_softmax(sc, pack, s)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[sl] = o.reshape(pack, s_, d).astype(o_ref.dtype)
+        lse_ref[sl] = (m + jnp.log(l)).reshape(pack, s_)
+
+
+def _tiny_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float, s: int, pack: int):
+    """All three grads from one tile-local pass. The softmax is
+    recomputed from scratch (no lse input): bitwise-identical to the
+    forward's p by construction, and Mosaic rejects the (pack, s) ->
+    (pack*s, 1) shape cast an lse input would need."""
+    pt, s_, d = q_ref.shape
+    ps = pack * s_
+    for t in range(pt // pack):
+        sl = slice(t * pack, (t + 1) * pack)
+        q = q_ref[sl].reshape(ps, d)
+        k = k_ref[sl].reshape(ps, d)
+        v = v_ref[sl].reshape(ps, d)
+        do = do_ref[sl].reshape(ps, d)
+
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p, _, _ = _tiny_band_softmax(sc, pack, s)
+        pc = p.astype(do.dtype)
+        o = jax.lax.dot_general(pc, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        dsum = (do.astype(jnp.float32) * o).sum(axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum) * scale
+        dsc = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(dsc, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[sl] = dq.reshape(pack, s_, d).astype(dq_ref.dtype)
+        dk_ref[sl] = dk.reshape(pack, s_, d).astype(dk_ref.dtype)
+        dv_ref[sl] = dv.reshape(pack, s_, d).astype(dv_ref.dtype)
+
+
+def _tiny_pack(q, pack: int):
+    bh = q.shape[0]
+    g = -(-bh // pack)
+    if g * pack != bh:
+        q = jnp.pad(q, ((0, g * pack - bh),) + ((0, 0),) * (q.ndim - 1))
+    return q, g
+
+
+def _tiny_dims(bh: int, s: int):
+    """(pack items per 128-row group, T groups per program, grid)."""
+    pack = max(1, 128 // s)
+    t = max(1, 2048 // (pack * s))  # ~2048 rows per program
+    block_items = pack * t
+    g = -(-bh // block_items)
+    return pack, block_items, g
+
+
+def _tiny_fwd_tpu(q, k, v, scale: float, interpret: bool = False):
+    """q,k,v: [BH, S, D], small S -> (o, lse)."""
+    bh, s, d = q.shape
+    pack, block_items, g = _tiny_dims(bh, s)
+    q, _ = _tiny_pack(q, block_items)
+    k, _ = _tiny_pack(k, block_items)
+    v, _ = _tiny_pack(v, block_items)
+    kernel = functools.partial(_tiny_fwd_kernel, scale=scale, s=s,
+                               pack=pack)
+    spec = pl.BlockSpec((block_items, s, d), lambda i: (i, 0, 0))
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, pl.BlockSpec((block_items, s), lambda i: (i, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((g * block_items, s, d), q.dtype),
+            jax.ShapeDtypeStruct((g * block_items, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * block_items * s * pack * s * d,
+            bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
+            transcendentals=g * block_items * s * pack * s),
+        interpret=interpret,
+    )(q, k, v)
+    return o[:bh], lse[:bh]
+
+
+def _tiny_bwd_tpu(q, k, v, o, lse, do, scale: float,
+                  interpret: bool = False):
+    """o/lse accepted for vjp-signature symmetry; the kernel recomputes
+    the softmax tile-locally instead (see _tiny_bwd_kernel)."""
+    del o, lse
+    bh, s, d = q.shape
+    pack, block_items, g = _tiny_dims(bh, s)
+    q, _ = _tiny_pack(q, block_items)
+    k, _ = _tiny_pack(k, block_items)
+    v, _ = _tiny_pack(v, block_items)
+    do, _ = _tiny_pack(do, block_items)
+    kernel = functools.partial(_tiny_bwd_kernel, scale=scale, s=s,
+                               pack=pack)
+    spec = pl.BlockSpec((block_items, s, d), lambda i: (i, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((g * block_items, s, d),
+                                        q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * g * block_items * s * pack * s * d,
+            bytes_accessed=7 * bh * s * d * q.dtype.itemsize,
+            transcendentals=g * block_items * s * pack * s),
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq[:bh], dk[:bh], dv[:bh]
+
+
+# --------------------------------------------------------------------------- #
 # flash backward (jnp, nested scans; recompute-from-lse)
 # --------------------------------------------------------------------------- #
 def _flash_bwd(q, k, v, o, lse, do, scale: float, bq: int = 256,
@@ -410,10 +591,22 @@ def _flash_bwd_tpu(q, k, v, o, lse, do, scale: float, bq: int = 256,
 # --------------------------------------------------------------------------- #
 # custom_vjp wiring + public API
 # --------------------------------------------------------------------------- #
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _use_flash(sq: int, sk: int) -> bool:
-    backend = jax.default_backend()
-    on_tpu = backend in ("tpu", "axon")
-    return on_tpu and max(sq, sk) >= FLASH_MIN_SEQ
+    return _on_tpu() and max(sq, sk) >= FLASH_MIN_SEQ
+
+
+def _use_tiny(sq: int, sk: int) -> bool:
+    """Tiny-kernel dispatch — BACKWARD only. Forward: the XLA dense path
+    and the packed kernel measured within noise of each other (1.2-1.3 ms
+    at [17920,16,64] bf16), so the fusible XLA form wins. Backward: the
+    jnp fallback pads S=16 to 128 and scans — 16.1 ms vs 2.2 ms for the
+    packed kernel (7.4x), ~150 ms of a 1.2 s train step across the
+    UNet's ~17 temporal attentions (tools_dev/profile_tiny_attn.py)."""
+    return _on_tpu() and sq == sk and sq <= 64
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -437,6 +630,8 @@ def _attention_bwd(scale, res, do):
     q, k, v, o, lse = res
     if _use_flash(q.shape[1], k.shape[1]):
         return _flash_bwd_tpu(q, k, v, o, lse, do, scale)
+    if _use_tiny(q.shape[1], k.shape[1]):
+        return _tiny_bwd_tpu(q, k, v, o, lse, do, scale)
     return _flash_bwd(q, k, v, o, lse, do, scale)
 
 
