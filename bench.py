@@ -151,6 +151,63 @@ def bench_base(peak: float) -> dict:
 
 
 # --------------------------------------------------------------------- #
+# record 5: VideoLCM 4-step inference (the fast-generation headline)
+# --------------------------------------------------------------------- #
+def bench_videolcm(peak: float) -> dict:
+    """sec/video with the 4-step LCM sampler, no CFG (reference
+    configs/videolcm_t2v_infer.yaml:11, inference_videolcm_entrance.py:
+    172-255) — same 16f 448x256 workload as the base record."""
+    import yaml
+
+    from vgen_tpu.core import AUTO_ENCODER, DIFFUSION, MODEL, default_cfg
+    from vgen_tpu.engines.infer_videolcm import make_lcm_generate_fn
+
+    with open("configs/videolcm_t2v_infer.yaml") as fh:
+        raw = yaml.safe_load(fh)
+    cfg = default_cfg()
+    cfg.update({"max_frames": 16, "resolution": [448, 256], "scale": 8,
+                "decoder_bs": 8, "num_inference_steps": 4,
+                "ddim_timesteps": 50, "set_fixed_guidance": 9.0})
+    cfg.UNet = dict(raw["UNet"])
+    cfg.Diffusion = dict(raw["Diffusion"])
+    cfg.video_compositions = ["text"]
+
+    dtype = jnp.bfloat16
+    model = MODEL.build(dict(cfg.UNet), dtype=dtype,
+                        video_compositions=["text"],
+                        resolution=list(cfg.resolution))
+    autoencoder = AUTO_ENCODER.build(dict(cfg.auto_encoder), dtype=dtype)
+    autoencoder.init_random(jax.random.PRNGKey(1), image_size=64)
+    diffusion = DIFFUSION.build(dict(cfg.Diffusion))
+
+    lat_h, lat_w = 256 // 8, 448 // 8
+    x0 = jnp.zeros((1, 2, lat_h, lat_w, 4))
+    y0 = jnp.zeros((1, 77, 1024))
+    # t_w is the already-embedded guidance vector [1, dim]
+    # (infer_t2v.model_init_kwargs:76)
+    tw0 = jnp.zeros((1, int(cfg.UNet.get("dim", 320))))
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), y=y0,
+        t_w=tw0))()
+
+    generate = make_lcm_generate_fn(cfg, model, autoencoder, diffusion)
+    y = jnp.zeros((1, 77, 1024), jnp.float32)
+    args = (params, autoencoder.params, y, jax.random.PRNGKey(2))
+
+    t0 = time.time()
+    compiled = jax.jit(generate.__wrapped__).lower(*args).compile()
+    log(f"videolcm compile {time.time() - t0:.0f}s")
+    sec = timed(compiled, args, int(os.environ.get("BENCH_ITERS", 3)))
+    log(f"videolcm: {sec:.3f}s/video (4 steps, no CFG)")
+    return {
+        "name": "videolcm_448x256",
+        "metric": "sec per 16-frame 448x256 video (LCM 4-step, no CFG, incl. VAE decode)",
+        "value": round(sec, 3), "unit": "s",
+        "videos_per_min_per_chip": round(60.0 / sec, 1),
+    }
+
+
+# --------------------------------------------------------------------- #
 # record 4: fused train step at the reference training shape
 # --------------------------------------------------------------------- #
 def bench_train(peak: float) -> dict:
@@ -509,6 +566,14 @@ def main():
     peak = peak_flops()
     records = [bench_base(peak)]
     gc.collect()  # drop each record's device state before the next
+    if not os.environ.get("BENCH_SKIP_LCM"):
+        try:
+            records.append(bench_videolcm(peak))
+        except Exception as e:  # noqa: BLE001
+            log(f"videolcm record failed: {type(e).__name__}: {e}")
+            records.append({"name": "videolcm",
+                            "error": f"{type(e).__name__}: {e}"})
+        gc.collect()
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
             records.append(bench_train(peak))

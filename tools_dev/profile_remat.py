@@ -34,7 +34,7 @@ dcfg = {"type": "DiffusionDDIM", "schedule": "linear_sd",
         "mean_type": "eps", "loss_type": "mse", "var_type": "fixed_small",
         "noise_strength": 0.0}
 
-for policy in (None, "dots", "dots_no_batch"):
+for policy in (None, "attn"):
     try:
         model = MODEL.build(dict(ucfg, remat_policy=policy))
         diffusion = DIFFUSION.build(dict(dcfg))

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -180,7 +181,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, sk, self.heads, self.dim_head)
         v = v.reshape(b, sk, self.heads, self.dim_head)
-        o = attention(q, k, v).reshape(b, sq, inner)
+        o = checkpoint_name(attention(q, k, v), "attn_out").reshape(b, sq, inner)
         out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
         if self.use_lora:
             out = out + LoRA(self.lora_rank, x.shape[-1], self.lora_alpha,
@@ -449,7 +450,7 @@ class PreNormAttention(nn.Module):
         q = q.reshape(b, s, self.heads, self.dim_head)
         k = k.reshape(b, s, self.heads, self.dim_head)
         v = v.reshape(b, s, self.heads, self.dim_head)
-        o = attention(q, k, v).reshape(b, s, inner)
+        o = checkpoint_name(attention(q, k, v), "attn_out").reshape(b, s, inner)
         o = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
         o = nn.Dropout(self.dropout)(o, deterministic=self.deterministic)
         return o + x

@@ -107,6 +107,12 @@ class UNetSD_T2VBase(nn.Module):
         # (static_argnums counts self, so frames is arg 3)
         policies = {
             None: None,
+            # save ONLY the attention outputs (tagged in blocks.py):
+            # softmax-attention is the costliest part of a block's
+            # recompute, while its saved output is small relative to the
+            # dot-products a dots policy would store (which OOM at 1.4B)
+            "attn": jax.checkpoint_policies.save_only_these_names(
+                "attn_out"),
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
