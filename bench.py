@@ -235,9 +235,9 @@ def bench_train(peak: float) -> dict:
     f, lh, lw = 16, 256 // 8, 448 // 8
     key = jax.random.PRNGKey(0)
     x0s = jnp.zeros((1, 2, lh, lw, 4))
-    params = jax.jit(lambda: model.init(
+    init_params = jax.jit(lambda: model.init(
         {"params": key, "dropout": key}, x0s, jnp.zeros((1,), jnp.int32),
-        y=jnp.zeros((1, 77, 1024))))()
+        y=jnp.zeros((1, 77, 1024))))
 
     optimizer = adafactor(annealing_lr(5e-5, 10, 1000, "cosine"))
     train_step = make_train_step(cfg, model, diffusion, optimizer,
@@ -248,6 +248,9 @@ def bench_train(peak: float) -> dict:
     last_err = None
     for b in (4, 2, 1):  # reference batch at 16f is 4/GPU; fall back
         try:
+            # fresh params per attempt: train_step donates the state, so
+            # a runtime OOM leaves the previous attempt's buffers deleted
+            params = init_params()
             state = {"params": params,
                      "opt_state": optimizer.init(params),
                      "step": jnp.zeros((), jnp.int32)}
@@ -267,7 +270,7 @@ def bench_train(peak: float) -> dict:
                 state, metrics = compiled(state, x0, y, zero_y, key)
             jax.block_until_ready(state)
             sec = (time.time() - t0) / iters
-            del state, compiled
+            del state, compiled, params
             gc.collect()
             break
         except Exception as e:  # noqa: BLE001

@@ -43,7 +43,11 @@ DecodeResult decode_one(const std::string& path, double sample_fps,
   if (src_fps <= 0) src_fps = 30.0;
   long stride = 1;
   if (sample_fps > 0) {
-    stride = std::lround(src_fps / sample_fps);
+    // nearbyint = round-half-to-EVEN, matching Python round() in the
+    // cv2 path (std::lround rounds half away from zero: at an exact
+    // .5 fps ratio, e.g. 25/10, the two paths would pick different
+    // strides and sample different frames)
+    stride = (long)std::nearbyint(src_fps / sample_fps);
     if (stride < 1) stride = 1;
   }
   std::vector<cv::Mat> frames;

@@ -93,11 +93,12 @@ def test_dreamvideo_forward_parity():
 
 def test_dreamvideo_adapter_zero_init_identity():
     """With FRESH adapters (zero-init up projections) the model must
-    equal the adapter-free T2V backbone (reference zero-init,
-    util.py:516-518)."""
+    equal the ADAPTER-FREE backbone sharing the same weights (reference
+    zero-init, util.py:516-518) — and be condition-independent."""
     base_cfg = {k: v for k, v in CFG.items()
                 if not k.startswith(("spatial_adapter", "temporal_adapter"))}
     mine = MODEL.build(dict(CFG, type="UNetSD_DreamVideo"))
+    backbone = MODEL.build(dict(base_cfg, type="UNetSD_DreamVideo"))
 
     b, f, h, w = 1, 2, 16, 16
     x0 = jnp.zeros((b, f, h, w, 4))
@@ -106,6 +107,18 @@ def test_dreamvideo_adapter_zero_init_identity():
     ac0 = jnp.zeros((b, 1024))
     params = mine.init(jax.random.PRNGKey(0), x0, t0, y=y0,
                        adapter_condition=ac0)
+    bb_params = backbone.init(jax.random.PRNGKey(1), x0, t0, y=y0)
+
+    # graft the shared-backbone weights from the adapter model into the
+    # adapter-free tree (adapter-only leaves have no counterpart)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_b, treedef_b = jax.tree_util.tree_flatten_with_path(bb_params)
+    leaves = []
+    for path, leaf in flat_b:
+        assert path in flat_a, f"backbone leaf missing in adapter tree: {path}"
+        leaves.append(flat_a[path])
+    bb_params = jax.tree_util.tree_unflatten(treedef_b, leaves)
+
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(b, f, h, w, 4).astype(np.float32))
     y = jnp.asarray(rng.randn(b, 7, 1024).astype(np.float32))
@@ -115,5 +128,9 @@ def test_dreamvideo_adapter_zero_init_identity():
     out_cond = mine.apply(params, x, t, y=y, adapter_condition=ac,
                           adapter_condition_lam=1.0)
     out_nocond = mine.apply(params, x, t, y=y)
+    out_backbone = backbone.apply(bb_params, x, t, y=y)
     np.testing.assert_allclose(np.asarray(out_cond), np.asarray(out_nocond),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_cond),
+                               np.asarray(out_backbone),
                                rtol=1e-5, atol=1e-5)

@@ -31,3 +31,24 @@ def test_uint8_normalize_resize_matches_torch_interpolate():
     ref = ref.permute(0, 2, 3, 1).numpy()
 
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sr_target_defaults_to_720p():
+    """A config WITHOUT sr_resolution must upscale to the reference's
+    hard-coded (720, 1280) target (inference_sr600_entrance.py:117) —
+    not to cfg.resolution. Shape-only via eval_shape (no compute)."""
+    import vgen_tpu  # noqa: F401
+    from vgen_tpu.core import AUTO_ENCODER, default_cfg
+    from vgen_tpu.engines.infer_sr600 import load_lowres_latent_fn
+
+    cfg = default_cfg()  # resolution defaults to [448, 256]
+    cfg.update({"chunk_size": 2, "scale_factor": 0.18215})
+    assert "sr_resolution" not in cfg or not cfg.get("sr_resolution")
+    ae = AUTO_ENCODER.build(dict(cfg.auto_encoder))
+    ae.init_random(jax.random.PRNGKey(0), image_size=64)
+    encode = load_lowres_latent_fn(cfg, ae)
+
+    frames = jax.ShapeDtypeStruct((4, 704, 1280, 3), jnp.uint8)
+    out = jax.eval_shape(encode, ae.params, frames,
+                         jax.random.PRNGKey(1))
+    assert out.shape == (1, 4, 720 // 8, 1280 // 8, 4), out.shape

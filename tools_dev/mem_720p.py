@@ -65,27 +65,22 @@ def main():
     clip_encoder, autoencoder, model, unet_params, diffusion = \
         build_t2v_models(cfg, key)
 
+    from vgen_tpu.engines.infer_i2vgen import make_i2vgen_generate_fn
+
     f = int(cfg.max_frames)
     lh = int(cfg.resolution[1]) // 8
     lw = int(cfg.resolution[0]) // 8
-    guide_scale = float(cfg.guide_scale)
-    ddim_steps = int(cfg.get("ddim_timesteps", 50))
 
-    def denoise_segment(params, xt, steps, local_image, y, yn, yv, fps, k):
-        def model_fn(x, t):
-            tb = jnp.broadcast_to(t, (x.shape[0],)) if t.ndim == 0 else t
-            y_out = model.apply(params, x, tb, y=y, image=yv,
-                                local_image=local_image, fps=fps)
-            u_out = model.apply(params, x, tb, y=yn,
-                                image=jnp.zeros_like(yv),
-                                local_image=local_image, fps=fps)
-            return diffusion.classifier_free_guidance(y_out, u_out,
-                                                      guide_scale)
-        return diffusion.ddim_sample_scan(k, xt, steps, model_fn,
-                                          ddim_timesteps=ddim_steps)
+    # the ENGINE's actual compiled programs (exported by the factory) —
+    # a hand-copied replica here would keep passing while the shipped
+    # program regressed
+    generate = make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion)
+    assert hasattr(generate, "denoise_segment"), \
+        "expected the segmented engine path at 720p"
+    n_seg = int(generate.segment_steps)
 
     xt = jnp.zeros((1, f, lh, lw, 4), jnp.float32)
-    steps = jnp.zeros((5,), jnp.int32)
+    steps = jnp.zeros((n_seg,), jnp.int32)
     li = jnp.zeros((1, f, lh, lw, 4), jnp.float32)
     y = jnp.zeros((1, 77, 1024), jnp.float32)
     yn = jnp.zeros((1, 77, 1024), jnp.float32)
@@ -93,20 +88,11 @@ def main():
     fps = jnp.zeros((1,), jnp.int32)
 
     programs = {}
-    seg = jax.jit(denoise_segment).lower(
-        unet_params, xt, steps, li, y, yn, yv, fps, key).compile()
+    seg = generate.denoise_segment.lower(
+        unet_params, xt, steps, y, yv, yn, li, fps, key).compile()
     programs["i2vgen_seg"] = mem_record(seg)
 
-    def decode(vae_params, latents):
-        lat = (latents / float(cfg.scale_factor))[0]
-        chunks = lat.reshape(f // 2, 2, lh, lw, 4)
-        frames = jax.lax.map(
-            lambda z: autoencoder.module.apply(vae_params, z,
-                                               method="decode_latent"),
-            chunks)
-        return frames.reshape(f, lh * 8, lw * 8, -1)
-
-    dec = jax.jit(decode).lower(autoencoder.params, xt).compile()
+    dec = generate.decode.lower(autoencoder.params, xt).compile()
     programs["i2vgen_dec"] = mem_record(dec)
 
     ok = all(p["total_gb"] < args.limit_gb for p in programs.values())

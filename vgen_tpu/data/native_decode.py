@@ -124,10 +124,14 @@ class DecodePool:
 
     def submit(self, path: str, max_frames: int = -1,
                sample_fps: Optional[float] = None) -> int:
+        if self._pool is None:
+            raise ValueError("DecodePool is closed")
         return self._lib.vd_submit(self._pool, path.encode(),
                                    float(sample_fps or 0.0), int(max_frames))
 
     def fetch(self, ticket: int) -> np.ndarray:
+        if self._pool is None:
+            raise ValueError("DecodePool is closed")
         f = ctypes.c_int()
         h = ctypes.c_int()
         w = ctypes.c_int()

@@ -178,6 +178,11 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
             xt = jax.block_until_ready(xt)
         return decode(vae_params, xt)
 
+    # exported so memory/regression tooling compiles the ACTUAL shipped
+    # programs, not replicas (tools_dev/mem_720p.py)
+    generate.denoise_segment = denoise_segment
+    generate.decode = decode
+    generate.segment_steps = seg
     return generate
 
 

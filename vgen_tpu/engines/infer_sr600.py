@@ -43,7 +43,11 @@ def load_lowres_latent_fn(cfg, autoencoder):
     1/4 the host->device bytes of pre-normalized f32."""
     chunk = int(cfg.chunk_size)
     scale_factor = float(cfg.scale_factor)
-    target = cfg.get("sr_resolution", cfg.resolution)
+    # the reference hard-codes the SR target: F.interpolate(size=(720,
+    # 1280)) (inference_sr600_entrance.py:117) — default to that, NOT to
+    # cfg.resolution (which would silently skip the upscale for configs
+    # inheriting the 448x256 default)
+    target = cfg.get("sr_resolution", [1280, 720])
     target_w, target_h = int(target[0]), int(target[1])
     mean = tuple(float(m) for m in cfg.get("mean", (0.5, 0.5, 0.5)))
     std = tuple(float(s) for s in cfg.get("std", (0.5, 0.5, 0.5)))

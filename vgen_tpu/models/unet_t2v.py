@@ -117,6 +117,10 @@ class UNetSD_T2VBase(nn.Module):
             "dots_no_batch":
                 jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
         }
+        if self.remat_policy not in policies:
+            raise ValueError(
+                f"unknown remat_policy {self.remat_policy!r}; valid: "
+                f"{sorted(str(k) for k in policies)}")
         pol = policies[self.remat_policy]
         kw = {"policy": pol} if pol is not None else {}
         RB = nn.remat(ResBlock, static_argnums=(3,), **kw) \
