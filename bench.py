@@ -1,26 +1,44 @@
 """North-star benchmarks on the real TPU chip (BASELINE.md targets).
 
-Three records, all measured on-device with AOT-compiled programs:
+Records, all measured on-device with AOT-compiled programs, in
+leverage order (north stars first so a time-budget kill can't lose
+them):
 
-  1. base:      sec / 16-frame 448x256 video (DDIM-50, CFG, incl. VAE
-                decode) — the t2v_infer.yaml headline — plus measured
-                TFLOP (XLA cost analysis) and MFU.
-  2. i2v_720p:  denoise steps/sec/chip at the I2VGen-XL working shape
-                (16 frames @ 1280x704 latents [1,16,88,160,4], sequential
-                CFG => 2 UNet forwards per step), plus MFU.
-  3. two_stage: i2vgen-xl (DDIM-50 + decode) -> sr600 (frame doubling,
-                720p resize, VAE encode, 30-step DDIM inversion to level
-                700, 30-step DPM-Solver++ 2M SDE, decode) wall-clock,
-                single chip. BASELINE.md target: >3x A100 ("a few
-                minutes" ~ 180 s => < 60 s clears the bar).
+  1. base:        sec / 16-frame 448x256 video (DDIM-50, CFG, incl. VAE
+                  decode) — the t2v_infer.yaml headline — plus measured
+                  TFLOP (XLA cost analysis) and MFU.
+  2. i2v_720p:    denoise steps/sec/chip at the I2VGen-XL working shape
+                  (16 frames @ 1280x704 latents [1,16,88,160,4],
+                  sequential CFG => 2 UNet forwards per step), plus MFU.
+  3. two_stage:   i2vgen-xl (DDIM-50 + decode) -> sr600 (frame doubling,
+                  720p resize, VAE encode, 30-step DDIM inversion to
+                  level 700, 30-step DPM-Solver++ 2M SDE, decode)
+                  wall-clock, single chip. BASELINE.md target: >3x A100
+                  ("a few minutes" ~ 180 s => < 60 s clears the bar).
+  4. videolcm:    4-step LCM sampler, no CFG — the fast-generation
+                  headline.
+  5. train (adafactor): fused train step s/it + MFU at the reference
+                  per-GPU shape (16f 448x256 b4).
+  6. train (adamw_ema): same shape at reference training semantics
+                  (AdamW + EMA, train_t2v_enterance.py:162-176,259-262);
+                  bf16 optimizer state on one 16 GB chip (f32 moments +
+                  EMA = 22.4 GB need >= 2-way FSDP — see
+                  dryrun_multichip).
 
 Weights are random (no released checkpoints in this environment) —
 throughput is weight-independent. CLIP text encode is excluded (run once
-per prompt, ~ms). Prints ONE JSON line: the headline metric fields plus a
-"records" list with all three measurements.
+per prompt, ~ms).
 
-Env knobs: BENCH_ITERS (default 3, base record), BENCH_SKIP_720P=1 to run
-only the base record, BENCH_PEAK_TFLOPS to override the MFU denominator.
+OUTPUT PROTOCOL: after EVERY record completes, the CURRENT headline JSON
+blob (head fields + all records so far) is printed as one line — the
+driver keeps the tail, so a mid-run timeout preserves every finished
+record; the final line carries all of them. A persistent XLA compilation
+cache (workspace/jax_cache) makes repeat runs skip the multi-minute
+compile tax.
+
+Env knobs: BENCH_ITERS (default 3, base record), BENCH_SKIP_720P /
+BENCH_SKIP_LCM / BENCH_SKIP_TRAIN =1 to skip records,
+BENCH_PEAK_TFLOPS to override the MFU denominator.
 """
 
 from __future__ import annotations
@@ -210,18 +228,20 @@ def bench_videolcm(peak: float) -> dict:
 # --------------------------------------------------------------------- #
 # record 4: fused train step at the reference training shape
 # --------------------------------------------------------------------- #
-def bench_train(peak: float) -> dict:
-    """s/it + MFU of the fused t2v train step (VERDICT r1 #5 'done'
-    criterion): 16 frames @ 448x256 latents (the reference per-GPU shape,
-    configs/t2v_train.yaml:66-72), largest batch that fits ONE chip.
+def bench_train(peak: float, flavor: str = "adafactor") -> dict:
+    """s/it + MFU of the fused t2v train step: 16 frames @ 448x256
+    latents (the reference per-GPU shape, configs/t2v_train.yaml:66-72),
+    largest batch that fits ONE chip.
 
-    Single-chip memory note: a 1.4B-param UNet with f32 AdamW moments +
-    EMA is ~22 GB — a multi-chip FSDP config (see dryrun_multichip).
-    On one 16 GB chip this record uses adafactor without EMA (the
-    reference registers adafactor too, utils/optim/adafactor.py)."""
+    flavor="adafactor": adafactor, no EMA (the reference registers
+    adafactor too, utils/optim/adafactor.py) — minimal optimizer HBM.
+    flavor="adamw_ema": reference training semantics (AdamW lr 5e-5
+    wd 0 + EMA 0.9999, train_t2v_enterance.py:162-176,259-262) with
+    bf16 optimizer state + bf16 EMA (14.0 GB of states; the f32 form is
+    22.4 GB and needs >= 2-way FSDP — proven by dryrun_multichip)."""
     from vgen_tpu.core import DIFFUSION, MODEL, default_cfg
     from vgen_tpu.engines.train_t2v import make_train_step
-    from vgen_tpu.utils.optim import adafactor, annealing_lr
+    from vgen_tpu.utils.optim import adafactor, adamw_lowmem, annealing_lr
 
     cfg = default_cfg()
     cfg.update({"max_frames": 16, "resolution": [448, 256],
@@ -239,9 +259,14 @@ def bench_train(peak: float) -> dict:
         {"params": key, "dropout": key}, x0s, jnp.zeros((1,), jnp.int32),
         y=jnp.zeros((1, 77, 1024))))
 
-    optimizer = adafactor(annealing_lr(5e-5, 10, 1000, "cosine"))
+    sched = annealing_lr(5e-5, 10, 1000, "cosine")
+    use_ema = flavor == "adamw_ema"
+    if use_ema:
+        optimizer = adamw_lowmem(sched, weight_decay=0.0)
+    else:
+        optimizer = adafactor(sched)
     train_step = make_train_step(cfg, model, diffusion, optimizer,
-                                 use_ema=False)
+                                 use_ema=use_ema)
     zero_y = jnp.zeros((1, 77, 1024))
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", 5))
 
@@ -254,12 +279,15 @@ def bench_train(peak: float) -> dict:
             state = {"params": params,
                      "opt_state": optimizer.init(params),
                      "step": jnp.zeros((), jnp.int32)}
+            if use_ema:
+                state["ema"] = jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16), params)
             x0 = jax.random.normal(jax.random.PRNGKey(1), (b, f, lh, lw, 4))
             y = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 1024)) * 0.02
 
             t0 = time.time()
             compiled = train_step.lower(state, x0, y, zero_y, key).compile()
-            log(f"train-step b{b} compile {time.time() - t0:.0f}s")
+            log(f"train-step[{flavor}] b{b} compile {time.time() - t0:.0f}s")
             flops = compiled_flops(compiled)  # one program, no scan: exact
 
             # donated state: thread it through the timing loop
@@ -275,19 +303,20 @@ def bench_train(peak: float) -> dict:
             break
         except Exception as e:  # noqa: BLE001
             last_err = e
-            log(f"train-step batch {b} failed ({type(e).__name__}) — "
-                f"trying smaller")
+            log(f"train-step[{flavor}] batch {b} failed "
+                f"({type(e).__name__}) — trying smaller")
             gc.collect()
     else:
         raise last_err
 
     mfu = flops / sec / peak if np.isfinite(flops) else float("nan")
-    log(f"train step: b{b} {sec:.3f} s/it, {flops/1e12:.1f} TFLOP, "
-        f"MFU {mfu:.3f}")
+    log(f"train step[{flavor}]: b{b} {sec:.3f} s/it, {flops/1e12:.1f} "
+        f"TFLOP, MFU {mfu:.3f}")
+    opt_desc = ("adamw(bf16 state)+ema(bf16)" if use_ema else "adafactor")
     return {
-        "name": f"train_step_448x256_b{b}",
+        "name": f"train_step_448x256_b{b}_{flavor}",
         "metric": f"fused train step s/it @ 16f 448x256 batch {b} "
-                  "(fwd+bwd+adafactor, bf16, remat)",
+                  f"(fwd+bwd+{opt_desc}, bf16, remat)",
         "value": round(sec, 3), "unit": "s/it",
         "batch": b,
         "tflop_per_step": round(flops / 1e12, 2),
@@ -339,9 +368,10 @@ def _build_i2vgen(dtype):
     return cfg, model, autoencoder, diffusion, params
 
 
-def bench_720p(peak: float):
-    """Returns [record2, record3] — records appended as they complete so
-    a stage-2 failure can't lose the stage-1 measurement."""
+def bench_720p(peak: float, emit=None):
+    """Returns [record2, record3] — record2 is also emit()ed the moment
+    it completes so a stage-2 failure or timeout can't lose the stage-1
+    measurement."""
     dtype = jnp.bfloat16
     f, lh, lw = 16, 704 // 8, 1280 // 8
     guide_scale = 9.0
@@ -440,6 +470,8 @@ def bench_720p(peak: float):
         "mfu": round(mfu, 4),
         "segment_memory": mem_gb,  # compiled XLA memory (16 GB budget)
     }
+    if emit is not None:
+        emit(rec2)
 
     t0 = time.time()
     dec = jax.jit(decode).lower(autoencoder.params, latents).compile()
@@ -563,48 +595,69 @@ def bench_sr600(peak, frames_np, autoencoder, y_words, t_denoise, t_decode,
     return rec3
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench runs skip the
+    ~12 min of compiles (VERDICT r2 weak #1). Kept under workspace/
+    (gitignored, survives on disk for the driver's end-of-round run)."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "workspace", "jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        log(f"compilation cache: {cache}")
+    except Exception as e:  # noqa: BLE001
+        log(f"compilation cache unavailable: {type(e).__name__}: {e}")
+
+
 def main():
     import vgen_tpu  # noqa: F401
 
+    enable_compile_cache()
     peak = peak_flops()
-    records = [bench_base(peak)]
-    gc.collect()  # drop each record's device state before the next
+    records = []
+    head = {}
+
+    def emit(rec):
+        """Print the CURRENT full headline blob as one JSON line the
+        moment a record lands — the driver keeps the tail, so every line
+        is a complete, parseable snapshot of all results so far."""
+        records.append(rec)
+        if not head and "value" in rec:
+            head.update({
+                "metric": rec["metric"], "value": rec["value"],
+                "unit": rec["unit"],
+                "vs_baseline": rec.get("vs_baseline"),
+                "mfu": rec.get("mfu"),
+            })
+        print(json.dumps(dict(head, device=str(jax.devices()[0]),
+                              records=records)), flush=True)
+
+    def guarded(name, fn, *args, **kwargs):
+        try:
+            out = fn(*args, **kwargs)
+            if out is not None:
+                emit(out)
+        except Exception as e:  # noqa: BLE001
+            log(f"{name} record failed: {type(e).__name__}: {e}")
+            emit({"name": name, "error": f"{type(e).__name__}: {e}"})
+        gc.collect()
+
+    # north stars first: base headline, then 720p denoise + two-stage
+    guarded("t2v_448x256", bench_base, peak)
+    if not os.environ.get("BENCH_SKIP_720P"):
+        def _720p():
+            rec2, rec3 = bench_720p(peak, emit=emit)
+            emit(rec3)  # rec2 already emitted inside
+        guarded("720p", _720p)
     if not os.environ.get("BENCH_SKIP_LCM"):
-        try:
-            records.append(bench_videolcm(peak))
-        except Exception as e:  # noqa: BLE001
-            log(f"videolcm record failed: {type(e).__name__}: {e}")
-            records.append({"name": "videolcm",
-                            "error": f"{type(e).__name__}: {e}"})
-        gc.collect()
+        guarded("videolcm", bench_videolcm, peak)
     if not os.environ.get("BENCH_SKIP_TRAIN"):
-        try:
-            records.append(bench_train(peak))
-        except Exception as e:  # noqa: BLE001
-            log(f"train record failed: {type(e).__name__}: {e}")
-            records.append({"name": "train_step",
-                            "error": f"{type(e).__name__}: {e}"})
-        gc.collect()
+        guarded("train_step", bench_train, peak, "adafactor")
         live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
         log(f"live device bytes after train record: {live_gb:.2f} GB")
-    if not os.environ.get("BENCH_SKIP_720P"):
-        try:
-            rec2, rec3 = bench_720p(peak)
-            records += [rec2, rec3]
-        except Exception as e:  # noqa: BLE001
-            log(f"720p records failed: {type(e).__name__}: {e}")
-            records.append({"name": "720p", "error": f"{type(e).__name__}: {e}"})
-
-    head = records[0]
-    print(json.dumps({
-        "metric": head["metric"],
-        "value": head["value"],
-        "unit": head["unit"],
-        "vs_baseline": head["vs_baseline"],
-        "mfu": head["mfu"],
-        "device": str(jax.devices()[0]),
-        "records": records,
-    }))
+        guarded("train_step_adamw_ema", bench_train, peak, "adamw_ema")
 
 
 if __name__ == "__main__":

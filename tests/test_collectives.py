@@ -116,3 +116,13 @@ def test_tensor_parallel_rules():
     assert p["ff"]["fc_out"]["kernel"].spec == P("tensor", "fsdp")
     # non-TP kernel: plain ZeRO-3 (largest divisible axis over fsdp)
     assert "tensor" not in str(p["other"]["kernel"].spec)
+
+
+def test_generalized_gather_single_process():
+    """dst gets the list, non-dst would get [] (reference
+    utils/distributed.py:215-240 contract); single-process: rank 0 IS
+    dst. The 2-process path is exercised by tests/test_multihost.py."""
+    from vgen_tpu.parallel import broadcast_object, generalized_gather
+
+    assert generalized_gather({"a": 1}, dst=0) == [{"a": 1}]
+    assert broadcast_object([3, "x"]) == [3, "x"]

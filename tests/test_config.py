@@ -106,3 +106,37 @@ def test_assign_single_cfg(tmp_path):
     assert out.lr == 0.001
     assert out.seed == 1
     assert cfg.UNet.dim == 64       # original untouched
+
+
+def test_assign_dual_module_cfgs(tmp_path):
+    """assign_prior_mudule_cfg / assign_vldm_vsr_mudule_cfg (reference
+    utils/assign_cfg.py:6-60): each named yaml merges onto a COPY of the
+    base cfg — dict values update existing keys, scalars overwrite."""
+    from vgen_tpu.core.config import (assign_prior_mudule_cfg,
+                                      assign_vldm_vsr_mudule_cfg)
+
+    prior = _write(tmp_path, "prior.yaml", """
+        UNet: {dim: 128}
+        role: prior
+    """)
+    vldm = _write(tmp_path, "vldm.yaml", """
+        UNet: {dim: 320}
+        role: vldm
+    """)
+    vsr = _write(tmp_path, "vsr.yaml", """
+        UNet: {dim: 1024}
+        role: vsr
+    """)
+    base = AttrDict({"UNet": {"dim": 64, "extra": 1}, "seed": 7,
+                     "prior_cfg": prior, "vldm_cfg": vldm, "vsr_cfg": vsr})
+
+    p, v = assign_prior_mudule_cfg(base)
+    assert (p.UNet.dim, p.role) == (128, "prior")
+    assert (v.UNet.dim, v.role) == (320, "vldm")
+    assert p.UNet.extra == v.UNet.extra == 1   # dict update, not replace
+    assert p.seed == v.seed == 7
+
+    v2, s = assign_vldm_vsr_mudule_cfg(base)
+    assert (v2.UNet.dim, v2.role) == (320, "vldm")
+    assert (s.UNet.dim, s.role) == (1024, "vsr")
+    assert base.UNet.dim == 64                 # original untouched

@@ -88,9 +88,45 @@ def test_bucket_slots_honor_frame_lens_ratio():
     assert frames == [1, 16, 16, 16, 16, 32, 32, 32]
     assert [s[1] for s in slots] == [32, 4, 4, 4, 4, 2, 2, 2]
     assert [s[2] for s in slots] == [1, 8, 8, 8, 8, 8, 8, 16]
-    # max_frames pins a single slot (fps index 1 % len, reference :246)
+    # max_frames pins a single slot; fps index is rank % len (reference
+    # train_t2v_enterance.py:100-104) — single-process => index 0
     cfg["max_frames"] = 16
-    assert plan_bucket_slots(cfg, dp=1) == [(16, 4, 8)]
+    assert plan_bucket_slots(cfg, dp=1) == [(16, 4, 1)]
+    # non-trivial fps list: index 0 must be picked, not hardcoded 1
+    cfg["sample_fps"] = [4, 8]
+    assert plan_bucket_slots(cfg, dp=1) == [(16, 4, 4)]
+
+
+def test_misc_drop_multiplier_count_then_permute():
+    """DropPath semantics (reference util.py:1700-1738): the number of
+    dropped FREE samples equals min(n, n_free) where n ~ Binomial(b, p)
+    over the whole batch; forced-zero always 0 (zero wins over keep),
+    forced-keep never dropped."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgen_tpu.models.unet_tft2v import misc_drop_multiplier
+
+    b, p = 16, 0.5
+    zero = jnp.zeros((b,), bool).at[0].set(True).at[1].set(True)
+    keep = jnp.zeros((b,), bool).at[1].set(True).at[2].set(True)
+    free = ~(np.asarray(zero) | np.asarray(keep))
+
+    fn = jax.jit(lambda k: misc_drop_multiplier(k, b, p, zero, keep))
+    counts = []
+    for s in range(200):
+        k = jax.random.PRNGKey(s)
+        kn, _ = jax.random.split(k)
+        n = int(jnp.sum(jax.random.uniform(kn, (b,)) < p))
+        m = np.asarray(fn(k))
+        assert m[0] == 0.0 and m[1] == 0.0      # zero wins over keep
+        assert m[2] == 1.0                      # keep survives
+        n_dropped_free = int((m[free] == 0.0).sum())
+        assert n_dropped_free == min(n, int(free.sum()))
+        counts.append(n_dropped_free)
+    # count varies across keys (it's Binomial, not constant)
+    assert len(set(counts)) > 3
 
 
 def test_masked_diffusion_masks_loss():

@@ -261,3 +261,34 @@ def assign_single_cfg(cfg: AttrDict, cfg_update: Dict, tname: str) -> AttrDict:
 
 # reference-spelling alias (utils/assign_cfg.py:64)
 assign_signle_cfg = assign_single_cfg
+
+
+def _merge_named_yaml(cfg: AttrDict, path: str) -> AttrDict:
+    """One reference-style merge: dict values update existing keys,
+    scalars overwrite (utils/assign_cfg.py:15-21)."""
+    out = AttrDict(copy.deepcopy(dict(cfg)))
+    loaded = yaml.safe_load(open(path).read()) or {}
+    for k, v in loaded.items():
+        if isinstance(v, dict) and k in out and isinstance(out[k], dict):
+            merged = dict(out[k])
+            merged.update(v)
+            out[k] = merged
+        else:
+            out[k] = v
+    return out
+
+
+def assign_prior_mudule_cfg(cfg: AttrDict):
+    """HiGen dual-module merge (reference utils/assign_cfg.py:6-32):
+    ``cfg.prior_cfg`` and ``cfg.vldm_cfg`` each name a yaml that is
+    merged onto a COPY of the base cfg, yielding the (prior, vldm)
+    config pair. Reference-typo name preserved."""
+    return (_merge_named_yaml(cfg, cfg["prior_cfg"]),
+            _merge_named_yaml(cfg, cfg["vldm_cfg"]))
+
+
+def assign_vldm_vsr_mudule_cfg(cfg: AttrDict):
+    """tft2v->sr600 chain merge (reference utils/assign_cfg.py:35-60):
+    (vldm, vsr) config pair from ``cfg.vldm_cfg`` / ``cfg.vsr_cfg``."""
+    return (_merge_named_yaml(cfg, cfg["vldm_cfg"]),
+            _merge_named_yaml(cfg, cfg["vsr_cfg"]))

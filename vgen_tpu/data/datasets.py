@@ -257,7 +257,19 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                     continue
                 futs = [ex.submit(dataset.__getitem__, j)
                         for j in order[i:i + batch_size]]
-                fut_q.put(futs)  # blocks when prefetch is full
+                # bounded put that re-checks stop: if the consumer
+                # abandons the generator while the queue is full, a
+                # plain put() would block this thread forever
+                while not stop.is_set():
+                    try:
+                        fut_q.put(futs, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    for fu in futs:
+                        fu.cancel()
+                    return
                 gbi += 1
 
     th = threading.Thread(target=submitter, daemon=True)
@@ -268,4 +280,12 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             yield _collate([f.result() for f in futs])
     finally:
         stop.set()
+        # drain queued batches and cancel their pending decodes so the
+        # executor's threads go idle instead of leaking work
+        while True:
+            try:
+                for fu in fut_q.get_nowait():
+                    fu.cancel()
+            except queue.Empty:
+                break
         ex.shutdown(wait=False)

@@ -42,12 +42,52 @@ def merge_partial_checkpoints(unet_params, paths):
     return unet_params
 
 
+def _resolve_adapter(cfg, kind: str, learn_log_dir):
+    """Reference adapter-path resolution (reference
+    inference_dreamvideo_entrance.py:168-190): either ``*_adapter_path``
+    (direct) or ``*_adapter_index`` (resolved into the learning run's
+    ``<log_dir>/<cfg_name>/checkpoints/adapter_%08d.pth``), never both.
+    Falls back to the repo-native ``*_adapter_ckpt`` key."""
+    path_k, idx_k = f"{kind}_adapter_path", f"{kind}_adapter_index"
+    if cfg.get(path_k) is not None and cfg.get(idx_k) is not None:
+        raise Exception(f"Both {idx_k} and {path_k} are used, "
+                        "please set only one.")
+    if cfg.get(idx_k) is not None:
+        src_cfg = str(cfg["subject_cfg" if kind == "identity"
+                          else "motion_cfg"])
+        cfg_name = src_cfg.split("/")[-1].split(".")[0]
+        return os.path.join(str(learn_log_dir or ""), cfg_name,
+                            "checkpoints",
+                            f"adapter_{int(cfg[idx_k]):08d}.pth")
+    return cfg.get(path_k) or cfg.get(f"{kind}_adapter_ckpt")
+
+
 @INFER_ENGINE.register_function()
 def inference_dreamvideo_entrance(cfg_update, **kwargs):
     cfg = merge_update(default_cfg(), cfg_update)
     cfg = assign_signle_cfg(cfg, cfg_update, "vldm_cfg")
+    # subject/motion learning-run config merges (reference :68-77); each
+    # merged cfg's log_dir locates that run's checkpoints
+    cfg_prefix = str(cfg.get("cfg_prefix", "") or "")
+    subject_log_dir = motion_log_dir = None
+    if cfg.get("subject_cfg"):
+        cfg = assign_signle_cfg(cfg, cfg_update, "subject_cfg")
+        subject_log_dir = os.path.join(cfg_prefix, str(cfg.log_dir))
+    if cfg.get("motion_cfg"):
+        cfg = assign_signle_cfg(cfg, cfg_update, "motion_cfg")
+        motion_log_dir = os.path.join(cfg_prefix, str(cfg.log_dir))
     for k, v in (cfg_update or {}).items():
         cfg[k] = v
+    # reference alias surface (:99,143-160): base_model is the base
+    # checkpoint, text_embedding_path the TI embedding file
+    if cfg.get("base_model") and not cfg.get("test_model"):
+        cfg["test_model"] = cfg["base_model"]
+    if cfg.get("text_embedding_path") and not cfg.get("embedding_ckpt"):
+        cfg["embedding_ckpt"] = os.path.join(cfg_prefix,
+                                             str(cfg.text_embedding_path))
+    if cfg.get("use_random_seed"):
+        import random as _random
+        cfg["seed"] = _random.randint(0, 10000)
 
     exp_name = osp.basename(str(cfg.test_list_path)).split(".")[0]
     save_dir = osp.join(str(cfg.log_dir), exp_name)
@@ -61,8 +101,8 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
         build_t2v_models(cfg, key)
     # merge identity/motion adapters (reference :166-190)
     unet_params = merge_partial_checkpoints(
-        unet_params, [cfg.get("identity_adapter_ckpt"),
-                      cfg.get("motion_adapter_ckpt")])
+        unet_params, [_resolve_adapter(cfg, "identity", subject_log_dir),
+                      _resolve_adapter(cfg, "motion", motion_log_dir)])
 
     custom_embedder = EMBEDDER.build(dict(
         cfg.get("custom_embedder",
@@ -170,12 +210,34 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
                                           jnp.asarray(vit)[None],
                                           method="encode_image")
 
+    def image_acond(img_path):
+        """CLIP-encode one appearance-guidance image (reference :223-236:
+        per-line img_key from test_data_dir)."""
+        img = np.asarray(Image.open(str(img_path)).convert("RGB"))
+        vit = T.vit_transform(img, tuple(cfg.vit_resolution))
+        return clip_encoder.module.apply(clip_encoder.params,
+                                         jnp.asarray(vit)[None],
+                                         method="encode_image")
+
     outputs = []
-    for idx, caption in enumerate(test_list):
-        if caption.startswith("#") or not caption:
+    for idx, line in enumerate(test_list):
+        if line.startswith("#") or not line:
             continue
         if idx % jax.process_count() != rank:
             continue
+        # reference test lines are "img_key|||caption" (:223); the image
+        # (under test_data_dir) is that line's appearance guidance
+        img_key, _, caption = line.rpartition("|||")
+        caption = caption.strip()
+        line_acond = acond
+        if img_key:
+            ipath = os.path.join(str(cfg.get("test_data_dir", "")),
+                                 img_key.strip())
+            if os.path.exists(ipath):
+                line_acond = image_acond(ipath)
+            else:
+                logger.warning("appearance image %r missing — using the "
+                               "static subject embedding", ipath)
         logger.info("[%d] dreamvideo sampling %r", idx, caption)
         # textual-inversion text features through the custom embedder
         y_words = custom_embedder(text=[caption], embedding_manager=manager)
@@ -183,7 +245,7 @@ def inference_dreamvideo_entrance(cfg_update, **kwargs):
         t0 = time.time()
         frames = jax.block_until_ready(
             generate(unet_params, autoencoder.params, y_words,
-                     zero_y_negative, acond, inverse_noise,
+                     zero_y_negative, line_acond, inverse_noise,
                      jnp.float32(inv_strength), sub))
         dt = time.time() - t0
         cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")[:80]

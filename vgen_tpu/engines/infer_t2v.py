@@ -221,6 +221,10 @@ def inference_text2video_entrance(cfg_update, **kwargs):
 
     with open(cfg.test_list_path) as fh:
         test_list = [line.strip() for line in fh if line.strip()]
+    # prompt-count cap (reference instructvideo eval: webvid_test_caps,
+    # inference_instructvideo_entrance.py:196)
+    if cfg.get("test_caps"):
+        test_list = test_list[:int(cfg.test_caps)]
     num_videos = len(test_list)
     test_list = [item for item in test_list for _ in range(int(cfg.get("round", 1)))]
 

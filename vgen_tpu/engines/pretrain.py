@@ -99,7 +99,14 @@ def pretrain_dreamvideo(params, resume_checkpoint=None,
                         train_adapter: bool = True, fix_spatial: bool = True,
                         fix_temporal: bool = False, **kwargs):
     """DreamVideo policy: train adapters / selected attention params,
-    freeze spatial and/or temporal weights (reference :57-109)."""
+    freeze spatial and/or temporal weights (reference :57-109).
+    Reference configs spell the flags ``fix_spatial_weight`` /
+    ``fix_temporal_weight`` (configs/dreamvideo/*Learning/*.yaml) —
+    both spellings are honored."""
+    if "fix_spatial_weight" in kwargs:
+        fix_spatial = bool(kwargs["fix_spatial_weight"])
+    if "fix_temporal_weight" in kwargs:
+        fix_temporal = bool(kwargs["fix_temporal_weight"])
     step = 0
     if resume_checkpoint and os.path.exists(resume_checkpoint):
         params = load_unet_params(resume_checkpoint, params, strict=False)

@@ -62,14 +62,25 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
                  "pretrained": cfg.embedder.get("pretrained")})))
     custom_embedder.load_params(clip_encoder.params)
 
-    em_cfg = dict(cfg.get("embedding_manager",
-                          {"type": "EmbeddingManager",
-                           "placeholder_strings": ["*"],
-                           "num_vectors_per_token": 1,
-                           "token_dim": cfg.UNet["context_dim"]}))
+    # reference spells the key 'embedmanager' in the shipped subject
+    # yamls (configs/dreamvideo/subjectLearning/*_step1.yaml) — honor
+    # both spellings
+    em_cfg = dict(cfg.get("embedding_manager")
+                  or cfg.get("embedmanager")
+                  or {"type": "EmbeddingManager",
+                      "placeholder_strings": ["*"],
+                      "num_vectors_per_token": 1,
+                      "token_dim": cfg.UNet["context_dim"]})
     manager = EMBEDMANAGER.build(em_cfg, embedder=custom_embedder)
-    if cfg.get("embedding_ckpt") and os.path.exists(str(cfg.embedding_ckpt)):
-        manager.load(str(cfg.embedding_ckpt))
+    # step2 resumes the step-1 embedding via 'text_embedding_path' (may
+    # contain a glob, reference subjectLearning/*_step2.yaml)
+    emb_ckpt = cfg.get("embedding_ckpt")
+    if not emb_ckpt and cfg.get("text_embedding_path"):
+        import glob as _glob
+        matches = sorted(_glob.glob(str(cfg.text_embedding_path)))
+        emb_ckpt = matches[-1] if matches else None
+    if emb_ckpt and os.path.exists(str(emb_ckpt)):
+        manager.load(str(emb_ckpt))
 
     # pretrain policy: adapters trainable, rest frozen (reference :184-193)
     pre = dict(cfg.Pretrain)
@@ -142,7 +153,9 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
 
     # data (VideoCustomDataset / ImageCustomDataset per stage)
     max_frames = int(cfg.get("max_frames") or 4)
-    ds_cfg = dict(cfg.vid_dataset)
+    # subject step1 names its image dataset 'img_dataset' (reference
+    # configs/dreamvideo/subjectLearning/*_step1.yaml)
+    ds_cfg = dict(cfg.get("vid_dataset") or cfg.img_dataset)
     ds_cfg["max_frames"] = max_frames
     dataset = DATASETS.build(ds_cfg)
     if len(dataset) == 0:

@@ -190,7 +190,10 @@ def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
         """Stochastic DDIM rollout with per-step log-probs (no grad),
         exercising ddim_sample_with_logprob (reference
         diffusion_ddim.py:595-674). Returns the trajectory + raw scores."""
-        kn, ks, kr, kd = jax.random.split(key, 4)
+        # kroll is NOT consumed by shared_noise — deriving the per-step
+        # rollout keys from ks (which shared_noise uses for its offset
+        # noise) would correlate the initial noise with step-1 noise
+        kn, ks, kroll, kr, kd = jax.random.split(key, 5)
         b = x0.shape[0]
         params = jax.lax.stop_gradient(params)
         model_fn = make_cfg_model_fn(params, y_words, zero_y, kd)
@@ -202,7 +205,7 @@ def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
         steps_all = diffusion.ddim_timestep_seq(ddim_steps)
         n_part = int(ddim_steps * starting_partial)
         steps = jnp.asarray(steps_all[-n_part:], jnp.int32)
-        keys = jax.random.split(ks, n_part)
+        keys = jax.random.split(kroll, n_part)
 
         def body(xt, inp):
             step, k = inp
@@ -298,6 +301,30 @@ from ..core import INFER_ENGINE
 def inference_instructvideo_entrance(cfg_update, **kwargs):
     """LoRA UNet eval with DDIM 20/50 (reference
     tools/inferences/inference_instructvideo_entrance.py): the t2v
-    pipeline with the LoRA model + merged LoRA checkpoint."""
+    pipeline with the LoRA model + merged LoRA checkpoint.
+
+    Honors the reference eval-config surface (configs/instructvideo/
+    eval/*.yaml): infer_checkpoint (:157), the webvid caption-file
+    triple webvid_dir/webvid_cap_file/webvid_eval_text (:182), the
+    webvid_test_caps prompt cap (:196), and webvid_dir_save +
+    str(test_caps) as the output dir (:103-104)."""
+    import os as _os
+
+    cfg_update = dict(cfg_update or {})
+    if cfg_update.get("infer_checkpoint") and \
+            not cfg_update.get("test_model"):
+        cfg_update["test_model"] = cfg_update["infer_checkpoint"]
+    if cfg_update.get("webvid_eval_text") and \
+            not cfg_update.get("test_list_path"):
+        cfg_update["test_list_path"] = _os.path.join(
+            str(cfg_update.get("webvid_dir", "")),
+            str(cfg_update.get("webvid_cap_file", "")),
+            f'{cfg_update["webvid_eval_text"]}.txt')
+    if cfg_update.get("webvid_test_caps"):
+        cfg_update.setdefault("test_caps", cfg_update["webvid_test_caps"])
+    if cfg_update.get("webvid_dir_save") and not cfg_update.get("log_dir"):
+        cfg_update["log_dir"] = (str(cfg_update["webvid_dir_save"])
+                                 + str(cfg_update.get("webvid_test_caps",
+                                                      "")))
     from .infer_t2v import inference_text2video_entrance
     return inference_text2video_entrance(cfg_update, **kwargs)

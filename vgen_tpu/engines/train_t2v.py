@@ -158,7 +158,11 @@ def plan_bucket_slots(cfg, dp: int):
     if cfg.get("max_frames"):
         f0 = int(cfg.max_frames)
         b0 = int(cfg.get("batch_size") or batch_sizes.get(str(f0), 1))
-        slots = [(f0, b0, int(sample_fps[1 % len(sample_fps)]))]
+        # reference picks sample_fps[rank % len] per DDP rank
+        # (train_t2v_enterance.py:100-104); the SPMD analog of "rank"
+        # for a single fixed-shape slot is the host process index
+        rank = jax.process_index()
+        slots = [(f0, b0, int(sample_fps[rank % len(sample_fps)]))]
     else:
         slots = [(int(fl), int(batch_sizes.get(str(fl), 1)),
                   int(sample_fps[i % len(sample_fps)]))

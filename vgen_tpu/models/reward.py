@@ -233,9 +233,13 @@ class RWRRewardModel(DiffRewardModel):
         sc = self.video_scores(key, tokens, jax.lax.stop_gradient(
             denoised_x0))
         # RWR: advantages carry NO gradient (decode under no_grad,
-        # reference :342); only loss_recon is differentiated
+        # reference :342); only loss_recon is differentiated.
+        # motion_advantages() is penalty-style (higher = jitterier), while
+        # sc["scores"] is reward-style — SUBTRACT the penalty so smooth
+        # videos get larger advantages ('Ensure that SSIM is generally
+        # high', reference reward.py:634).
         adv = (self.ST_reward_weights["spatial"] * sc["scores"]
-               + self.ST_reward_weights["temporal"]
+               - self.ST_reward_weights["temporal"]
                * self.motion_advantages(sc))
         adv = jax.lax.stop_gradient(adv)
         reward_loss = (adv * loss_recon).mean()
@@ -260,9 +264,11 @@ class DDPORewardModel(DiffRewardModel):
         """Raw per-video scores (no grad) for a sampled rollout."""
         sc = self.video_scores(key, tokens,
                                jax.lax.stop_gradient(denoised_x0))
+        # reward-style context: subtract the penalty-style motion term
+        # (see RWRRewardModel.reward_scorer).
         return jax.lax.stop_gradient(
             self.ST_reward_weights["spatial"] * sc["scores"]
-            + self.ST_reward_weights["temporal"]
+            - self.ST_reward_weights["temporal"]
             * self.motion_advantages(sc))
 
     def advantages(self, prompts, rewards):

@@ -80,13 +80,22 @@ class ConditionStem(nn.Module):
 
 def misc_drop_multiplier(key, batch: int, p: float, zero, keep):
     """Per-sample DropPath multiplier with forced zero/keep sets
-    (reference util.py DropPath:1700-1738 — no rescaling). Differs from
-    the reference's exact index shuffling (draws an independent Bernoulli
-    per free sample instead of choosing a count then permuting), same
-    drop probability."""
-    drop = jax.random.uniform(key, (batch,)) < p
-    m = jnp.where(drop, 0.0, 1.0)
-    m = jnp.where(keep, 1.0, m)
+    (reference util.py DropPath:1700-1738 — no rescaling).
+
+    Exact count-then-permute semantics: n ~ Binomial(batch, p) counted
+    over the WHOLE batch (reference :1714), then n indices are chosen
+    uniformly without replacement among the FREE indices (not keep, not
+    zero, :1717-1726) and zeroed; forced-zero indices are always zeroed
+    (zero wins over keep, :1727-1728)."""
+    kn, kp = jax.random.split(key)
+    n = jnp.sum(jax.random.uniform(kn, (batch,)) < p)
+    free = ~(zero | keep)
+    # random ranks over the free set: argsort of uniform scores is a
+    # uniform permutation; non-free entries sort last (score=+inf)
+    scores = jnp.where(free, jax.random.uniform(kp, (batch,)), jnp.inf)
+    ranks = jnp.argsort(jnp.argsort(scores))
+    dropped = free & (ranks < n)
+    m = jnp.where(dropped, 0.0, 1.0)
     m = jnp.where(zero, 0.0, m)
     return m
 

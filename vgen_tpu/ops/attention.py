@@ -605,8 +605,14 @@ def _use_tiny(sq: int, sk: int) -> bool:
     at [17920,16,64] bf16), so the fusible XLA form wins. Backward: the
     jnp fallback pads S=16 to 128 and scans — 16.1 ms vs 2.2 ms for the
     packed kernel (7.4x), ~150 ms of a 1.2 s train step across the
-    UNet's ~17 temporal attentions (tools_dev/profile_tiny_attn.py)."""
-    return _on_tpu() and sq == sk and sq <= 64
+    UNet's ~17 temporal attentions (tools_dev/profile_tiny_attn.py).
+
+    Restricted to 128 % sq == 0: _tiny_dims packs pack=128//s rows per
+    tile and the (pack, s, d)->(pack*s, s*d... ) reshapes are only
+    lane-aligned when pack*s == 128 exactly — e.g. s=24 would give
+    120-row tiles that Mosaic may reject on real TPU. Other sizes fall
+    back to _flash_bwd/jnp."""
+    return _on_tpu() and sq == sk and sq <= 64 and 128 % sq == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

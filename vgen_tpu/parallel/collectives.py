@@ -172,6 +172,16 @@ def broadcast_object(obj: Any, src: int = 0) -> Any:
     return generalized_all_gather(obj)[src]
 
 
+def generalized_gather(obj: Any, dst: int = 0) -> list:
+    """Gather picklable objects TO one rank (reference
+    utils/distributed.py:192-240): the ``dst`` process gets the full
+    list, everyone else gets []. JAX multihost collectives are
+    symmetric (every host participates in the allgather), so this is
+    the allgather with the reference's asymmetric return contract."""
+    out = generalized_all_gather(obj)
+    return out if jax.process_index() == dst else []
+
+
 # ------------------------------------------------------------------ #
 # distributed algorithms (reference :369-430)
 # ------------------------------------------------------------------ #

@@ -99,6 +99,67 @@ def freeze_mask(params, trainable_fn: Callable[[str], bool]):
 
 def ema_update(ema, params, decay: float):
     """new_ema = params*(1-decay) + ema*decay (reference lerp,
-    train_t2v_enterance.py:259-262)."""
-    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay),
-                        ema, params)
+    train_t2v_enterance.py:259-262). Preserves the EMA tree's dtype
+    (math in f32 when the EMA is stored bf16)."""
+    return jax.tree.map(
+        lambda e, p: (e.astype(jnp.float32) * decay
+                      + p.astype(jnp.float32) * (1.0 - decay)).astype(e.dtype),
+        ema, params)
+
+
+def scale_by_adam_lowmem(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8,
+                         state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """Adam with BOTH moments stored in ``state_dtype`` (update math in
+    f32). optax.scale_by_adam only lets mu be downcast; storing nu in
+    bf16 too halves optimizer-state HBM again — the difference between
+    AdamW+EMA fitting one 16 GB chip or not for a 1.4B-param UNet
+    (f32 moments+EMA = 22.4 GB > 16 GB; bf16 = 14.0 GB). bf16 keeps the
+    f32 exponent range, so nu (an EMA of squares) cannot overflow; the
+    8-bit mantissa costs ~1e-2 relative noise on the update scale."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=state_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        count = optax.safe_int32_increment(state.count)
+
+        def moments(g, m, n):
+            g32 = g.astype(jnp.float32)
+            m32 = m.astype(jnp.float32) * b1 + g32 * (1 - b1)
+            n32 = n.astype(jnp.float32) * b2 + (g32 * g32) * (1 - b2)
+            return m32, n32
+
+        mn = jax.tree.map(moments, updates, state.mu, state.nu)
+        is_pair = lambda x: isinstance(x, tuple)  # noqa: E731
+        mu32 = jax.tree.map(lambda t: t[0], mn, is_leaf=is_pair)
+        nu32 = jax.tree.map(lambda t: t[1], mn, is_leaf=is_pair)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree.map(
+            lambda m, n: (m / c1) / (jnp.sqrt(n / c2) + eps), mu32, nu32)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda m: m.astype(state_dtype), mu32),
+            nu=jax.tree.map(lambda n: n.astype(state_dtype), nu32))
+        return new_updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_lowmem(lr, weight_decay: float = 0.0, betas=(0.9, 0.999),
+                 eps: float = 1e-8,
+                 state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """AdamW (reference train_t2v_enterance.py:162-163 semantics: decoupled
+    weight decay, same betas/eps) with bf16 optimizer state — the
+    single-chip variant; multi-chip FSDP shards the f32 build_optimizer
+    moments instead (parallel/mesh.py)."""
+    return optax.chain(
+        scale_by_adam_lowmem(betas[0], betas[1], eps, state_dtype),
+        optax.add_decayed_weights(weight_decay) if weight_decay
+        else optax.identity(),
+        optax.scale_by_learning_rate(lr))
