@@ -105,6 +105,7 @@ def test_flash_bwd_pallas_interpret_matches_autodiff(sq, sk, bq, bk):
     (7, 12),     # S not a divisor of 128 (P=10, 120-row tiles)
     (5, 1),      # single-frame (image batches)
 ])
+@pytest.mark.slow
 def test_tiny_kernel_interpret_matches_dense(bh, s):
     """Packed tiny-seq kernel (temporal attention) vs the dense oracle,
     forward + backward, interpret mode."""

@@ -9,12 +9,14 @@ import torch
 import vgen_tpu  # noqa: F401
 from vgen_tpu.core import AUTO_ENCODER
 from vgen_tpu.models.autoencoder import DiagonalGaussianDistribution
+import pytest
 
 DD = {"double_z": True, "z_channels": 4, "resolution": 64, "in_channels": 3,
       "out_ch": 3, "ch": 32, "ch_mult": [1, 2], "num_res_blocks": 1,
       "attn_resolutions": [], "dropout": 0.0}
 
 
+@pytest.mark.slow
 def test_encode_decode_shapes():
     ae = AUTO_ENCODER.build({"type": "AutoencoderKL", "ddconfig": DD,
                              "embed_dim": 4})

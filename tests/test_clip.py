@@ -71,6 +71,7 @@ def test_text_tower_shapes_and_penultimate():
     assert pooled[0].shape == (2, 1024) and pooled[1].shape == (2, 77, 1024)
 
 
+@pytest.mark.slow
 def test_tiny_clip_end_to_end():
     """A scaled-down arch runs concretely: text + vision."""
     from vgen_tpu.models import clip as clipmod

@@ -8,11 +8,14 @@ global batch assembled from host-local shards. Passing means the engines
 no longer silently assume process_count()==1.
 """
 
+import pytest
 import os
 import re
 import socket
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -18,10 +18,12 @@ from vgen_tpu.models.annotator_nets import (MiDaS, PiDiNetConverted,
 from vgen_tpu.utils.ckpt import remap_state_dict
 
 from .ref_loader import REF, _load
+import pytest
 
 torch.manual_seed(0)
 
 
+@pytest.mark.slow
 def test_pidinet_parity():
     ref_mod = _load("ref_pidinet", f"{REF}/tools/annotator/sketch/pidinet.py")
     pdcs = ref_mod.config_model_converted("carv4")
@@ -47,6 +49,7 @@ def test_pidinet_parity():
                                ref_out.numpy(), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sketch_gan_parity():
     ref_mod = _load("ref_sketch",
                     f"{REF}/tools/annotator/sketch/sketch_simplification.py")
@@ -68,6 +71,7 @@ def test_sketch_gan_parity():
                                ref_out.numpy(), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pidinet_sketch_pipeline(tmp_path):
     """End-to-end annotators.pidinet_sketch: synthetic torch checkpoints
     (raw pixel-difference weights, 'state_dict' nesting, 'module.'
@@ -112,6 +116,7 @@ def test_pidinet_sketch_pipeline(tmp_path):
                                rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_midas_parity():
     ref_mod = _load("ref_depth", f"{REF}/tools/annotator/depth/__init__.py")
     ref = ref_mod.MiDaS(image_size=64, patch_size=16, dim=64,

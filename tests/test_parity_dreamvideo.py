@@ -15,6 +15,7 @@ from vgen_tpu.core import MODEL
 from vgen_tpu.utils.ckpt import remap_state_dict, translate_unet
 
 from .ref_loader import REF, _ensure_stub_registry, _ensure_stub_unet_deps, _load
+import pytest
 
 torch.manual_seed(0)
 
@@ -49,6 +50,7 @@ def load_ref_dreamvideo():
                  package="refunet")
 
 
+@pytest.mark.slow
 def test_dreamvideo_forward_parity():
     refmod = load_ref_dreamvideo()
     ref = refmod.UNetSD_DreamVideo(**CFG).eval()
@@ -91,6 +93,7 @@ def test_dreamvideo_forward_parity():
             err_msg=f"DreamVideo parity failed at ag_strength={lam}")
 
 
+@pytest.mark.slow
 def test_dreamvideo_adapter_zero_init_identity():
     """With FRESH adapters (zero-init up projections) the model must
     equal the ADAPTER-FREE backbone sharing the same weights (reference

@@ -13,6 +13,7 @@ from vgen_tpu.core import MODEL
 from vgen_tpu.utils.ckpt import remap_state_dict, translate_unet
 
 from .ref_loader import REF, _ensure_stub_registry, _ensure_stub_unet_deps, _load
+import pytest
 
 torch.manual_seed(0)
 
@@ -37,6 +38,7 @@ def load_ref_higen():
                  f"{REF}/tools/modules/unet/unet_higen.py", package="refunet")
 
 
+@pytest.mark.slow
 def test_higen_forward_parity():
     refmod = load_ref_higen()
     ref = refmod.UNetSD_HiGen(**CFG).eval()
@@ -84,6 +86,7 @@ def test_higen_forward_parity():
                                ref_out.numpy(), rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_higen_single_frame_temporal_noop():
     """Phase-1 (f=1): temporal blocks must be identity (WoImg semantics)."""
     mine = MODEL.build(dict(CFG, type="UNetSD_HiGen"))

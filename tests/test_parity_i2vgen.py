@@ -52,6 +52,7 @@ def test_adaptive_avg_pool_matches_torch():
                                    err_msg=f"{h}x{w}")
 
 
+@pytest.mark.slow
 def test_i2vgen_forward_parity():
     refmod = load_ref_i2vgen()
     # reference forward unconditionally calls .cuda() on the position

@@ -16,6 +16,7 @@ from vgen_tpu.models.unet_sr600 import fourier_filter
 from vgen_tpu.utils.ckpt import remap_state_dict, translate_unet
 
 from .ref_loader import REF, _ensure_stub_registry, _ensure_stub_unet_deps, _load
+import pytest
 
 torch.manual_seed(0)
 
@@ -52,6 +53,7 @@ def test_fourier_filter_matches():
                                ref.numpy(), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sr600_forward_parity():
     refmod = load_ref_sr600()
     ref = refmod.UNetSD_SR600(**CFG).eval()
@@ -83,6 +85,7 @@ def test_sr600_forward_parity():
                                ref_out.numpy(), rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_sr600_odd_even_shapes():
     """SR600 down-pad/up-trim keeps spatial dims through the UNet for the
     even heights the 720p path uses (88 and 90 latents)."""

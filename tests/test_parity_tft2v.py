@@ -14,6 +14,7 @@ from vgen_tpu.core import MODEL
 from vgen_tpu.utils.ckpt import remap_state_dict, translate_unet
 
 from .ref_loader import REF, _ensure_stub_registry, _ensure_stub_unet_deps, _load
+import pytest
 
 torch.manual_seed(0)
 
@@ -47,6 +48,7 @@ class _Cfg:
     resolution = RES
 
 
+@pytest.mark.slow
 def test_tft2v_forward_parity():
     refmod = load_ref_tft2v()
     ref = refmod.UNetSD_TFT2V(config=_Cfg(), **CFG).eval()

@@ -65,6 +65,7 @@ def test_unet_key_coverage(unet_pair):
     assert not unused, f"torch keys not consumed: {sorted(unused)[:8]}"
 
 
+@pytest.mark.slow
 def test_unet_forward_parity(unet_pair):
     ref, mine, params = unet_pair
     rng = np.random.RandomState(0)

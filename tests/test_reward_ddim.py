@@ -14,6 +14,7 @@ import yaml
 from vgen_tpu.diffusion.reward_ddim import DiffusionDDIMReward
 
 from .ref_loader import load_ref_ddim
+import pytest
 
 refmod = load_ref_ddim()
 
@@ -116,6 +117,7 @@ def _run_engine(cfg):
     return ENGINE.build(dict(type=cfg["TASK_TYPE"]), cfg_update=cfg)
 
 
+@pytest.mark.slow
 def test_instructvideo_rwr_step(tmp_path):
     """RWR mode: reward-weighted recon loss trains a step end-to-end."""
     state = _run_engine(_iv_cfg(tmp_path, reward_mode="RWR"))
@@ -124,6 +126,7 @@ def test_instructvideo_rwr_step(tmp_path):
                for l in jax.tree.leaves(state["params"]))
 
 
+@pytest.mark.slow
 def test_instructvideo_ddpo_step(tmp_path):
     """DDPO mode: stochastic rollout with log-probs + policy step."""
     state = _run_engine(_iv_cfg(tmp_path, reward_mode="DDPO",

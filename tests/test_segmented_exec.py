@@ -13,6 +13,7 @@ import numpy as np
 import vgen_tpu  # noqa: F401
 from vgen_tpu.core import AUTO_ENCODER, DIFFUSION, MODEL
 from vgen_tpu.core.config import AttrDict
+import pytest
 
 
 def _tiny_cfg(**over):
@@ -63,6 +64,7 @@ def _build(cfg):
     return model, autoencoder, diffusion, params
 
 
+@pytest.mark.slow
 def test_i2vgen_segmented_equals_whole():
     from vgen_tpu.engines.infer_i2vgen import make_i2vgen_generate_fn
 
@@ -87,6 +89,7 @@ def test_i2vgen_segmented_equals_whole():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sr600_segmented_equals_whole():
     from vgen_tpu.engines.infer_sr600 import make_sr_fn
 

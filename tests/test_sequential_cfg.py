@@ -9,6 +9,7 @@ import yaml
 import vgen_tpu  # noqa: F401
 import vgen_tpu.engines  # noqa: F401
 from vgen_tpu.core import merge_update, default_cfg
+import pytest
 
 
 def _cfg(**over):
@@ -20,6 +21,7 @@ def _cfg(**over):
     return cfg
 
 
+@pytest.mark.slow
 def test_sequential_equals_batched_cfg():
     from vgen_tpu.engines.infer_t2v import build_t2v_models, make_generate_fn
 

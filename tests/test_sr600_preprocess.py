@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import torch
 import torch.nn.functional as F
+import pytest
 
 
 def test_uint8_normalize_resize_matches_torch_interpolate():
@@ -33,6 +34,7 @@ def test_uint8_normalize_resize_matches_torch_interpolate():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sr_target_defaults_to_720p():
     """A config WITHOUT sr_resolution must upscale to the reference's
     hard-coded (720, 1280) target (inference_sr600_entrance.py:117) —

@@ -8,6 +8,7 @@ import yaml
 
 import vgen_tpu.engines  # noqa: F401
 from vgen_tpu.core import ENGINE
+import pytest
 
 
 def _tiny_cfg(tmp_path, **over):
@@ -20,6 +21,7 @@ def _tiny_cfg(tmp_path, **over):
     return cfg
 
 
+@pytest.mark.slow
 def test_train_two_steps_dp(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     state = ENGINE.build(dict(type=cfg["TASK_TYPE"]), cfg_update=cfg)
@@ -28,6 +30,7 @@ def test_train_two_steps_dp(tmp_path):
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_train_fsdp_sharded(tmp_path):
     cfg = _tiny_cfg(tmp_path, use_fsdp=True, fsdp_size=2, batch_size=4)
     state = ENGINE.build(dict(type=cfg["TASK_TYPE"]), cfg_update=cfg)
@@ -40,6 +43,7 @@ def test_train_fsdp_sharded(tmp_path):
     assert int(state["step"]) == 2
 
 
+@pytest.mark.slow
 def test_checkpoint_save_and_shape(tmp_path):
     cfg = _tiny_cfg(tmp_path, num_steps=1, save_ckp_interval=1)
     ENGINE.build(dict(type=cfg["TASK_TYPE"]), cfg_update=cfg)
@@ -47,6 +51,7 @@ def test_checkpoint_save_and_shape(tmp_path):
     assert any(c.startswith("step_") for c in ckpts)
 
 
+@pytest.mark.slow
 def test_resume_roundtrip_bitwise(tmp_path):
     """Interrupted-at-2 + auto-resumed-to-4 must equal uninterrupted-to-4
     bitwise: params, EMA, AND optimizer moments (VERDICT: reference
