@@ -87,25 +87,27 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
         sp_mesh = spatial_infer_mesh() if cfg.get("use_zero_infer") else None
 
         def model_fn(xt, t):
+            from ..ops.attention import spatial_shard_ctx
             xt = constrain_spatial(xt, sp_mesh)
             tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 else t
-            if seq_cfg:
-                y_out = model.apply(unet_params, xt, tb, y=y_words,
-                                    image=y_visual, local_image=local_image,
-                                    fps=fps)
-                u_out = model.apply(unet_params, xt, tb, y=y_negative,
-                                    image=uncond_image,
-                                    local_image=local_image, fps=fps)
-            else:
-                x2 = jnp.concatenate([xt, xt], axis=0)
-                t2 = jnp.concatenate([tb, tb], axis=0)
-                ctx = jnp.concatenate([y_words, y_negative], axis=0)
-                img = jnp.concatenate([y_visual, uncond_image], axis=0)
-                li = jnp.concatenate([local_image, local_image], axis=0)
-                fps2 = jnp.concatenate([fps, fps], axis=0)
-                out = model.apply(unet_params, x2, t2, y=ctx, image=img,
-                                  local_image=li, fps=fps2)
-                y_out, u_out = jnp.split(out, 2, axis=0)
+            with spatial_shard_ctx(sp_mesh):
+                if seq_cfg:
+                    y_out = model.apply(unet_params, xt, tb, y=y_words,
+                                        image=y_visual,
+                                        local_image=local_image, fps=fps)
+                    u_out = model.apply(unet_params, xt, tb, y=y_negative,
+                                        image=uncond_image,
+                                        local_image=local_image, fps=fps)
+                else:
+                    x2 = jnp.concatenate([xt, xt], axis=0)
+                    t2 = jnp.concatenate([tb, tb], axis=0)
+                    ctx = jnp.concatenate([y_words, y_negative], axis=0)
+                    img = jnp.concatenate([y_visual, uncond_image], axis=0)
+                    li = jnp.concatenate([local_image, local_image], axis=0)
+                    fps2 = jnp.concatenate([fps, fps], axis=0)
+                    out = model.apply(unet_params, x2, t2, y=ctx, image=img,
+                                      local_image=li, fps=fps2)
+                    y_out, u_out = jnp.split(out, 2, axis=0)
             return diffusion.classifier_free_guidance(y_out, u_out, guide_scale)
 
         return model_fn

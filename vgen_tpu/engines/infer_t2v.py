@@ -160,19 +160,22 @@ def make_generate_fn(cfg, model, autoencoder, diffusion):
     @partial(jax.jit, static_argnums=())
     def generate(unet_params, vae_params, y_words, y_negative, fps, key):
         def model_fn(xt, t):
+            from ..ops.attention import spatial_shard_ctx
             xt = constrain_spatial(xt, sp_mesh)
             tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 else t
-            if seq_cfg:
-                y_out = model.apply(unet_params, xt, tb, y=y_words, fps=fps)
-                u_out = model.apply(unet_params, xt, tb, y=y_negative,
-                                    fps=fps)
-            else:
-                x2 = jnp.concatenate([xt, xt], axis=0)
-                t2 = jnp.concatenate([tb, tb], axis=0)
-                ctx = jnp.concatenate([y_words, y_negative], axis=0)
-                fps2 = jnp.concatenate([fps, fps], axis=0)
-                out = model.apply(unet_params, x2, t2, y=ctx, fps=fps2)
-                y_out, u_out = jnp.split(out, 2, axis=0)
+            with spatial_shard_ctx(sp_mesh):
+                if seq_cfg:
+                    y_out = model.apply(unet_params, xt, tb, y=y_words,
+                                        fps=fps)
+                    u_out = model.apply(unet_params, xt, tb, y=y_negative,
+                                        fps=fps)
+                else:
+                    x2 = jnp.concatenate([xt, xt], axis=0)
+                    t2 = jnp.concatenate([tb, tb], axis=0)
+                    ctx = jnp.concatenate([y_words, y_negative], axis=0)
+                    fps2 = jnp.concatenate([fps, fps], axis=0)
+                    out = model.apply(unet_params, x2, t2, y=ctx, fps=fps2)
+                    y_out, u_out = jnp.split(out, 2, axis=0)
             return diffusion.classifier_free_guidance(y_out, u_out, guide_scale)
 
         knoise, ksample = jax.random.split(key)

@@ -25,6 +25,7 @@ around a CUDA kernel limit): XLA/Mosaic tile arbitrary batch sizes.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional
@@ -92,6 +93,35 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_scr[:, :1]))[:, 0]
 
 
+def _flash_fwd_naive_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                            scale: float, sk: int):
+    """Whole-K-in-one-block forward: grid (BH, q-blocks), no scratch.
+
+    When the padded key length fits a single block (sk_p <= bk cap, i.e.
+    every spatial/cross attention below ~2k tokens), the online-softmax
+    machinery of _flash_fwd_kernel is pure overhead: the running
+    max/sum/acc scratch read-modify-writes and the alpha rescale cost
+    ~11% of kernel time at the UNet hot shape ([160,1792,64] bf16:
+    3.29 -> 2.91 ms measured, tools_dev/profile_fwd_twopass.py; chunked
+    MXU/VPU-overlap variants all measured SLOWER — Mosaic serializes
+    them). This kernel is one QK^T, one rowmax/exp/sum, one PV.
+    """
+    q = q_ref[0]
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if k_ref.shape[1] != sk:  # static: mask padded keys
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(idx < sk, s, _NEG_INF)
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+
+
 def _flash_fwd_tpu(q, k, v, scale: float, bq: int = 256, bk: int = 2048,
                    interpret: bool = False):
     """q,k,v: [BH, S, D] -> (o [BH, Sq, D], lse [BH, Sq] f32).
@@ -100,7 +130,9 @@ def _flash_fwd_tpu(q, k, v, scale: float, bq: int = 256, bk: int = 2048,
     single wide K block beats many 512-wide online-softmax steps by ~2x
     at the UNet's hot shape (S=1792: 6.99 -> 3.29 ms, see
     tools_dev/profile_flash_sweep.py); VMEM stays small (scores block
-    bq x bk f32 = 2 MB at the cap)."""
+    bq x bk f32 = 2 MB at the cap). When the whole padded K fits one
+    block the online-softmax state is dropped entirely
+    (_flash_fwd_naive_kernel, another ~11%)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     bq = min(bq, _ceil_to(sq, 128))
@@ -113,6 +145,36 @@ def _flash_fwd_tpu(q, k, v, scale: float, bq: int = 256, bk: int = 2048,
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
 
     nkb = sk_p // bk
+    if nkb == 1:
+        kernel = functools.partial(_flash_fwd_naive_kernel, scale=scale,
+                                   sk=sk)
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=(bh, sq_p // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * sq_p * sk_p * d,
+                bytes_accessed=(q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=bh * sq_p * sk_p),
+            interpret=interpret,
+        )(q, k, v)
+        return o[:, :sq], lse[:, 0, :sq]
+
     grid = (bh, sq_p // bq, nkb)
     kernel = functools.partial(_flash_fwd_kernel, scale=scale, sk=sk, bk=bk,
                                nkb=nkb)
@@ -644,6 +706,64 @@ def _attention_bwd(scale, res, do):
 _attention_bhsd.defvjp(_attention_fwd, _attention_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# spatially-sharded inference routing (use_zero_infer / sp mesh)
+# --------------------------------------------------------------------------- #
+# GSPMD cannot auto-partition a Mosaic (Pallas) kernel: compiling the
+# 720p denoise step over an sp mesh on the real TPU compiler fails with
+# "Mosaic kernels cannot be automatically partitioned. Please wrap the
+# call in a shard_map." (the CPU dryrun masked this — flash is disabled
+# off-TPU). Engines that shard activations over a spatial mesh enter
+# spatial_shard_ctx around the UNet apply; attention() then runs the
+# kernel INSIDE a shard_map over the token axis — all-gather K/V for
+# self-attention (one ICI collective; K/V fit per-device), K/V
+# replicated for cross-attention (no collective) — instead of a bare
+# pallas_call. Same math as sp_attention.allgather_attention
+# (SURVEY §5.7), specialized to the sharded-inference layout.
+
+_SPATIAL_CTX: list = []
+
+
+@contextlib.contextmanager
+def spatial_shard_ctx(mesh, axis: str = "sp"):
+    """Route long-sequence attention through shard_map over ``axis`` of
+    ``mesh`` while tracing. No-op when mesh is None."""
+    if mesh is None:
+        yield
+        return
+    _SPATIAL_CTX.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SPATIAL_CTX.pop()
+
+
+def _sharded_attention(q, k, v, scale: float, mesh, axis: str):
+    """q,k,v: [B, S, H, D] global shapes, token axis sharded over
+    ``axis`` (self-attn) or replicated keys (cross-attn)."""
+    from jax.sharding import PartitionSpec as P
+
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    self_attn = sk == sq
+    qspec = P(None, axis, None, None)
+    kvspec = qspec if self_attn else P(None, None, None, None)
+
+    def local(qb, kb, vb):
+        bl, sql, hl, dl = qb.shape
+        q2 = qb.transpose(0, 2, 1, 3).reshape(bl * hl, sql, dl)
+        k2 = kb.transpose(0, 2, 1, 3).reshape(bl * hl, kb.shape[1], dl)
+        v2 = vb.transpose(0, 2, 1, 3).reshape(bl * hl, vb.shape[1], dl)
+        if self_attn:
+            k2 = jax.lax.all_gather(k2, axis, axis=1, tiled=True)
+            v2 = jax.lax.all_gather(v2, axis, axis=1, tiled=True)
+        o = _attention_bhsd(q2, k2, v2, scale)
+        return o.reshape(bl, hl, sql, dl).transpose(0, 2, 1, 3)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
+                         out_specs=qspec, check_vma=False)(q, k, v)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               scale: Optional[float] = None,
               bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -660,6 +780,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if _SPATIAL_CTX and bias is None and sq >= FLASH_MIN_SEQ:
+        mesh, axis = _SPATIAL_CTX[-1]
+        if sq % mesh.shape[axis] == 0:
+            return _sharded_attention(q, k, v, scale, mesh, axis)
     if bias is not None:
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                        preferred_element_type=jnp.float32) * scale

@@ -134,11 +134,16 @@ def shard_params(params, mesh: Mesh, min_size: int = 2 ** 16):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def spatial_infer_mesh(min_devices: int = 2) -> Optional[Mesh]:
+def spatial_infer_mesh(min_devices: int = 2, devices=None) -> Optional[Mesh]:
     """1-D ("sp",) mesh over all local devices for spatially-sharded
     inference (the reference's use_zero_infer analog: big-activations
-    inference that one chip cannot hold). Returns None single-device."""
-    devices = jax.devices()
+    inference that one chip cannot hold). Returns None single-device.
+
+    ``devices`` overrides jax.devices() — e.g. a TopologyDescription's
+    virtual devices for AOT compilation (tools_dev/mem_sharded_720p.py).
+    """
+    if devices is None:
+        devices = jax.devices()
     if len(devices) < min_devices:
         return None
     return Mesh(np.asarray(devices), ("sp",))
