@@ -9,6 +9,7 @@ import vgen_tpu  # noqa: F401
 import vgen_tpu.engines  # noqa: F401
 from vgen_tpu.core import default_cfg, merge_update
 from vgen_tpu.parallel.mesh import spatial_infer_mesh
+import pytest
 
 
 def _cfg(**over):
@@ -25,6 +26,7 @@ def test_spatial_mesh_exists_on_virtual_devices():
     assert mesh is not None and mesh.shape["sp"] == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_sharded_generate_matches_single_device():
     import jax.numpy as jnp
 
