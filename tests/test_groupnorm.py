@@ -67,3 +67,39 @@ def test_gn_grad_matches_ref():
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_gn_stats_fast_matches_flax():
+    # fallback (CPU) path of the round-3 stats formulation
+    x, s, b, ref = _case((4, 8, 8, 64))
+    out = G.group_norm_stats_fast(x, s, b, num_groups=32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gn_stats_kernel_interpret():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 64), jnp.float32)
+    s1, s2 = G._stats_pallas(x, interpret=True)
+    r1, r2 = G._stats_ref(x)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_gn_apply_kernel_interpret():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64), jnp.float32)
+    mul = jax.random.normal(jax.random.PRNGKey(5), (2, 64))
+    add = jax.random.normal(jax.random.PRNGKey(6), (2, 64))
+    out = G._apply_pallas(x, mul, add, interpret=True)
+    ref = x * mul[:, None, :] + add[:, None, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_gn_stats_chunk_rules():
+    # whole-S block allowed regardless of 8-alignment; chunked blocks
+    # must be multiples of 8; impossible cases return None
+    assert G._stats_chunk(28, 320, 2) == 28
+    big = G._stats_chunk(28672, 320, 2)
+    assert big is not None and big % 8 == 0 and 28672 % big == 0
+    assert G._stats_chunk(9999991, 1280, 4) is None  # prime, over budget

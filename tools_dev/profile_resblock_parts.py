@@ -36,11 +36,14 @@ def bench(name, fn, *args, n=50, flops=0.0):
         out, _ = jax.lax.scan(step, a[0], None, length=n)
         return out
 
+    # reduce to a scalar ON DEVICE before fetching — device_get of the
+    # full array ships ~37 MB through the axon tunnel (~16 ms/iter of
+    # fake time when amortized over n)
     o = many(*args)
-    _ = np.asarray(jax.device_get(o)).ravel()[:2]
+    _ = float(np.asarray(o.astype(jnp.float32).mean()))
     t0 = time.time()
     o = many(*args)
-    _ = np.asarray(jax.device_get(o)).ravel()[:2]
+    _ = float(np.asarray(o.astype(jnp.float32).mean()))
     dt = (time.time() - t0) / n
     eff = f"  {flops / dt / 1e12:6.1f} TF/s" if flops else ""
     print(f"{name:34s}: {dt * 1e3:6.2f} ms{eff}", flush=True)

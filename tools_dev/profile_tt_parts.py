@@ -29,15 +29,20 @@ def bench(name, fn, *args, n=50, flops=0.0):
     def many(*a):
         def step(x, _):
             o = fn(x, *a[1:])
-            return (a[0] + o.reshape(a[0].shape) * 1e-6).astype(x.dtype), ()
+            # fold a scalar of o into the carry (shape-agnostic, keeps the
+            # loop body live under XLA's loop-invariant hoisting)
+            return (a[0] + o.astype(jnp.float32).mean() * 1e-6).astype(
+                x.dtype), ()
         out, _ = jax.lax.scan(step, a[0], None, length=n)
         return out
 
+    # scalar-reduce on device before fetching (tunnel transfer ≈16 ms/iter
+    # of fake time otherwise — see profile_resblock_parts.py)
     o = many(*args)
-    _ = np.asarray(jax.device_get(o)).ravel()[:2]
+    _ = float(np.asarray(o.astype(jnp.float32).mean()))
     t0 = time.time()
     o = many(*args)
-    _ = np.asarray(jax.device_get(o)).ravel()[:2]
+    _ = float(np.asarray(o.astype(jnp.float32).mean()))
     dt = (time.time() - t0) / n
     eff = f"  {flops / dt / 1e12:6.1f} TF/s" if flops else ""
     print(f"{name:34s}: {dt * 1e3:6.2f} ms{eff}", flush=True)

@@ -63,9 +63,19 @@ def prob_mask_like(key, shape, prob: float) -> jnp.ndarray:
 class GroupNorm32(nn.Module):
     """GroupNorm(32) matching torch semantics (contiguous channel groups).
 
-    Stays on flax nn.GroupNorm: a hand-fused Pallas GN was benchmarked
-    (vgen_tpu/ops/groupnorm.py) and LOST end-to-end (9.8 -> 12.1 s/video)
-    because the opaque kernel call blocks XLA's own GN+SiLU+conv fusion.
+    Stays on flax nn.GroupNorm after TWO measured Pallas attempts
+    (ops/groupnorm.py, tools_dev/trace_step.py):
+      * fully fused GN kernel: 9.8 -> 12.1 s/video (fusion barrier);
+      * stats-only kernel (+ jnp or Pallas normalize, round 3): XLA's GN
+        stats fusions cost 42 ms of a 190 ms UNet forward at 15-90 GB/s
+        and the Pallas stats kernel itself runs at full bandwidth
+        (2.5 ms total) — but every wiring LOST end-to-end (197 -> 206-214
+        ms/fwd): custom-calls force row-major operands while XLA lays
+        activations out batch-minor for the convs, so each call inserts
+        relayout copies and perturbs the 5D temporal-conv lowering
+        (2 ms/conv standalone vs space-partitioned inside fusions).
+    Lesson: on this model XLA's layout assignment is globally coupled;
+    per-norm kernels can't win without also owning the convs.
     """
     num_groups: int = 32
     epsilon: float = 1e-5
