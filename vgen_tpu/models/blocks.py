@@ -21,6 +21,7 @@ checkpoint maps by a mechanical key translation (see utils/ckpt.py).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -34,6 +35,23 @@ Dtype = Any
 
 zeros_init = nn.initializers.zeros
 default_kernel = nn.initializers.lecun_normal()
+
+# Layout-flip knobs (tools_dev/profile_layout_flip.py). XLA's layout
+# assignment is globally coupled (GroupNorm32 docstring below): conv ops
+# pull activations batch-minor, which both slows XLA's own GN stats
+# fusions (42 ms of a 190 ms UNet fwd at 15-90 GB/s) and blocks the
+# full-bandwidth Pallas stats kernels (relayout copies around the
+# custom-call). CONV_IMPL="matmul" re-expresses the 3x3 / (3,1,1) convs
+# as shifted matmuls (identical param pytrees, so checkpoints are
+# interchangeable); GN_IMPL="stats" routes GroupNorm32 through the
+# Pallas stats+apply pair (ops/groupnorm.py). Studies mutate these
+# module globals between jits; env vars set process-wide defaults.
+# MEASURED (profile_layout_flip.py, TPU v5 lite): both flips LOSE —
+# xla+flax 191.9 ms/fwd vs matmul+flax 200.0, xla+stats 204.0,
+# matmul+stats 233.4. Defaults stay "xla"/"flax"; the alternates remain
+# as tested, checkpoint-compatible formulations for future hardware.
+CONV_IMPL = os.environ.get("VGEN_CONV_IMPL", "xla")
+GN_IMPL = os.environ.get("VGEN_GN_IMPL", "flax")
 
 
 def sinusoidal_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -60,6 +78,111 @@ def prob_mask_like(key, shape, prob: float) -> jnp.ndarray:
     return jax.random.uniform(key, shape) < prob
 
 
+class _MMConv2d3x3(nn.Module):
+    """3x3 'same' conv expressed as 9 shifted matmuls.
+
+    Param pytree is identical to ``nn.Conv(features, (3, 3))`` (kernel
+    [3, 3, Cin, Cout], bias [Cout]) so checkpoints and the torch importer
+    are oblivious to the formulation. Accumulates the 9 partial products
+    in f32 (one dot_general per tap; XLA folds the pad+slice into the
+    operand read), then casts once — numerically within bf16 rounding of
+    the conv lowering, pinned by tests/test_mm_conv.py."""
+    features: int
+    kernel_init: Callable = default_kernel
+    bias_init: Callable = zeros_init
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        k = kernel.astype(dt)
+        n, h, w, _ = x.shape
+        hp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                t = jax.lax.dot_general(
+                    hp[:, dy:dy + h, dx:dx + w], k[dy, dx],
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = t if out is None else out + t
+        return (out + bias.astype(jnp.float32)).astype(dt)
+
+
+class _MMConvT3(nn.Module):
+    """(3,1,1) temporal 'same' conv as 3 frame-shifted matmuls.
+
+    Param pytree identical to ``nn.Conv(features, (3, 1, 1))`` (kernel
+    [3, 1, 1, Cin, Cout], bias [Cout]). Input [B, F, H, W, C]."""
+    features: int
+    kernel_init: Callable = default_kernel
+    bias_init: Callable = zeros_init
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, v):
+        cin = v.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 1, 1, cin, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        dt = self.dtype or v.dtype
+        x = v.astype(dt)
+        k = kernel.reshape(3, cin, self.features).astype(dt)
+        prev = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], 1)
+        nxt = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], 1)
+        dot = lambda a, w: jax.lax.dot_general(  # noqa: E731
+            a, w, (((4,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = dot(prev, k[0]) + dot(x, k[1]) + dot(nxt, k[2])
+        return (out + bias.astype(jnp.float32)).astype(dt)
+
+
+def conv3x3(features, *, kernel_init=default_kernel, bias_init=zeros_init,
+            dtype=None, name=None):
+    """Stride-1 'same' 3x3 conv, formulation per CONV_IMPL."""
+    if CONV_IMPL == "matmul":
+        return _MMConv2d3x3(features, kernel_init=kernel_init,
+                            bias_init=bias_init, dtype=dtype, name=name)
+    return nn.Conv(features, (3, 3), padding=1, kernel_init=kernel_init,
+                   bias_init=bias_init, dtype=dtype, name=name)
+
+
+def tconv3(features, *, kernel_init=default_kernel, bias_init=zeros_init,
+           dtype=None, name=None):
+    """(3,1,1) temporal 'same' conv, formulation per CONV_IMPL."""
+    if CONV_IMPL == "matmul":
+        return _MMConvT3(features, kernel_init=kernel_init,
+                         bias_init=bias_init, dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size=(3, 1, 1),
+                   padding=((1, 1), (0, 0), (0, 0)),
+                   kernel_init=kernel_init, bias_init=bias_init,
+                   dtype=dtype, name=name)
+
+
+class _StatsGN(nn.Module):
+    """GroupNorm via the Pallas stats+apply pair (ops/groupnorm.py).
+    Param pytree identical to ``nn.GroupNorm`` (scale, bias)."""
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.groupnorm import group_norm_stats_fast
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", zeros_init, (c,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return group_norm_stats_fast(x, scale, bias, self.num_groups,
+                                     self.epsilon)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) matching torch semantics (contiguous channel groups).
 
@@ -83,9 +206,12 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]),
-                            epsilon=self.epsilon, dtype=self.dtype,
-                            name="norm")(x)
+        g = min(self.num_groups, x.shape[-1])
+        if GN_IMPL == "stats":
+            return _StatsGN(num_groups=g, epsilon=self.epsilon,
+                            dtype=self.dtype, name="norm")(x)
+        return nn.GroupNorm(num_groups=g, epsilon=self.epsilon,
+                            dtype=self.dtype, name="norm")(x)
 
 
 class TimestepEmbedding(nn.Module):
@@ -333,9 +459,8 @@ class TemporalConvBlock(nn.Module):
             if drop:
                 h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
             init = zeros_init if zero else default_kernel
-            return nn.Conv(c, kernel_size=(3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-                           kernel_init=init, bias_init=zeros_init,
-                           dtype=self.dtype, name=f"{name}_conv")(h)
+            return tconv3(c, kernel_init=init, bias_init=zeros_init,
+                          dtype=self.dtype, name=f"{name}_conv")(h)
 
         x = gn_silu_conv(x, "conv1", drop=False)
         x = gn_silu_conv(x, "conv2")
@@ -367,8 +492,7 @@ class ResBlock(nn.Module):
 
         h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
         h = nn.silu(h)
-        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype,
-                    name="in_conv")(h)
+        h = conv3x3(c_out, dtype=self.dtype, name="in_conv")(h)
 
         emb_dim = 2 * c_out if self.use_scale_shift_norm else c_out
         e = nn.Dense(emb_dim, dtype=self.dtype,
@@ -384,8 +508,8 @@ class ResBlock(nn.Module):
             h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
-        h = nn.Conv(c_out, (3, 3), padding=1, kernel_init=zeros_init,
-                    bias_init=zeros_init, dtype=self.dtype, name="out_conv")(h)
+        h = conv3x3(c_out, kernel_init=zeros_init, bias_init=zeros_init,
+                    dtype=self.dtype, name="out_conv")(h)
 
         if x.shape[-1] == c_out:
             skip = x
@@ -419,8 +543,8 @@ class Upsample(nn.Module):
         if self.trim_lr:
             x = x[:, 1:-1, :, :]
         if self.use_conv:
-            x = nn.Conv(self.out_channels or c, (3, 3), padding=1,
-                        dtype=self.dtype, name="conv")(x)
+            x = conv3x3(self.out_channels or c, dtype=self.dtype,
+                        name="conv")(x)
         return x
 
 
