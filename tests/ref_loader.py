@@ -178,3 +178,41 @@ def load_ref_unet_t2v():
 def load_ref_autoencoder():
     _ensure_stub_registry()
     return _load("ref_autoencoder", f"{REF}/tools/modules/autoencoder.py")
+
+
+def load_ref_open_clip():
+    """The reference's bundled open_clip fork (utils/reward/open_clip/),
+    model.py + transformer.py only — the numerical oracle for our CLIP
+    towers. timm is absent in this environment but the fork guards that
+    import; hf_model needs transformers (present)."""
+    if "refclip.model" in sys.modules:
+        return sys.modules["refclip.model"]
+    if "torchvision" not in sys.modules:
+        # only FrozenBatchNorm2d is referenced (ResNet path, unused here)
+        import importlib.machinery
+
+        import torch.nn
+
+        tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_misc = types.ModuleType("torchvision.ops.misc")
+        tv_misc.FrozenBatchNorm2d = torch.nn.BatchNorm2d
+        tv_ops.misc = tv_misc
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.misc"] = tv_misc
+    pkg = types.ModuleType("refclip")
+    pkg.__path__ = [f"{REF}/utils/reward/open_clip"]
+    sys.modules.setdefault("refclip", pkg)
+    base = f"{REF}/utils/reward/open_clip"
+    # hf_model drags in transformers (slow, needs net probes) — the HF
+    # text-encoder path is unused by the CLIP class under test
+    hf_stub = types.ModuleType("refclip.hf_model")
+    hf_stub.HFTextEncoder = type("HFTextEncoder", (), {})
+    sys.modules["refclip.hf_model"] = hf_stub
+    for sub in ("utils", "transformer", "modified_resnet", "hf_configs",
+                "timm_model"):
+        _load(f"refclip.{sub}", f"{base}/{sub}.py", package="refclip")
+    return _load("refclip.model", f"{base}/model.py", package="refclip")

@@ -109,3 +109,20 @@ def test_causal_mask_effect():
     o2 = np.asarray(emb(t2))
     np.testing.assert_allclose(o1[:, :5], o2[:, :5], atol=1e-5)
     assert not np.allclose(o1[:, 50], o2[:, 50], atol=1e-5)
+
+
+def test_tokenizer_mojibake_repair():
+    """_clean_text repairs UTF-8-as-latin1 mojibake like ftfy.fix_text
+    (reference open_clip tokenizer.py), so malformed-unicode prompts
+    tokenize identically to their well-formed spelling; well-formed
+    accents are untouched."""
+    from vgen_tpu.models.clip import _clean_text
+
+    assert _clean_text("CafÃ© terrace at night") == "café terrace at night"
+    # double-encoded mojibake also converges
+    bad2 = "Café".encode("utf-8").decode("latin-1") \
+        .encode("utf-8").decode("latin-1")
+    assert _clean_text(bad2) == "café"
+    # well-formed text is a no-op
+    assert _clean_text("Café au lait") == "café au lait"
+    assert _clean_text("a dog") == "a dog"

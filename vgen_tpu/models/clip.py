@@ -17,6 +17,7 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -81,10 +82,35 @@ def _byte_unicode_table():
     return mapping
 
 
+def _fix_mojibake(text: str) -> str:
+    """Minimal ftfy.fix_text equivalent for its dominant case: UTF-8
+    bytes mis-decoded as windows-1252/latin-1 ('mojibake', e.g.
+    'CafÃ©' -> 'Café'). The reference tokenizer runs the full ftfy
+    (utils/reward/open_clip/tokenizer.py whitespace_clean/basic_clean);
+    ftfy is unavailable here, so prompts with malformed unicode would
+    otherwise tokenize differently. Like ftfy, repeats until stable
+    (double-encoded input) and leaves well-formed text untouched — a
+    genuine 'é' re-encodes to a lone 0xE9 byte that is NOT valid UTF-8,
+    so the round-trip fails and the original is kept."""
+    for _ in range(3):
+        if not any(ord(c) > 127 for c in text):
+            break
+        for enc in ("cp1252", "latin-1"):
+            try:
+                fixed = text.encode(enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                fixed = None
+        if fixed is None or fixed == text:
+            break
+        text = fixed
+    return unicodedata.normalize("NFC", text)
+
+
 def _clean_text(text: str) -> str:
-    # basic cleanup: html unescape twice + whitespace collapse + lowercase.
-    # (the reference also runs ftfy.fix_text, which is a no-op for
-    # well-formed input; ftfy is not available in this environment)
+    # ftfy-equivalent mojibake repair + html unescape twice + whitespace
+    # collapse + lowercase (reference open_clip tokenizer.py behavior)
+    text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()
@@ -202,14 +228,17 @@ class MHA(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
+    """epsilon=1e-5 on every LayerNorm matches torch; CLIP token
+    embeddings have std~0.02, where flax's 1e-6 default shifts the
+    normalized output by ~1% (caught by tests/test_parity_clip.py)."""
     heads: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, bias=None):
         x = x + MHA(self.heads, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, name="ln_1")(x), bias)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x), bias)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="mlp_fc")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_proj")(h)
@@ -236,7 +265,7 @@ class TextTransformer(nn.Module):
             (self.context_length, self.width))
         self.resblocks = [ResidualAttentionBlock(self.heads, dtype=self.dtype)
                           for _ in range(self.layers)]
-        self.ln_final = nn.LayerNorm(dtype=self.dtype)
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5),
             (self.width, self.embed_dim))
@@ -297,10 +326,10 @@ class VisionTransformer(nn.Module):
         self.positional_embedding = self.param(
             "positional_embedding", nn.initializers.normal(self.width ** -0.5),
             (n_tokens, self.width))
-        self.ln_pre = nn.LayerNorm(dtype=self.dtype)
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.resblocks = [ResidualAttentionBlock(self.heads, dtype=self.dtype)
                           for _ in range(self.layers)]
-        self.ln_post = nn.LayerNorm(dtype=self.dtype)
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.proj = self.param("proj",
                                nn.initializers.normal(self.width ** -0.5),
                                (self.width, self.embed_dim))

@@ -338,13 +338,14 @@ def translate_clip(segs: List[str]) -> Optional[str]:
             out.append(_LEAF[s]); i += 1; continue
         out.append(s)
         i += 1
-    key = ".".join(out)
-    # raw Parameters have no .weight suffix in open_clip
-    for raw in ("positional_embedding", "class_embedding", "text_projection",
-                "proj", "logit_scale"):
-        if key.endswith(raw + ".weight"):
-            key = key[: -len(".weight")]
-    return key
+    # raw Parameters have no .weight suffix in open_clip. Match on the
+    # exact segment — a suffix match would also strip out_proj.weight /
+    # mlp.c_proj.weight (caught by tests/test_parity_clip.py)
+    if (len(out) >= 2 and out[-1] == "weight" and out[-2] in
+            ("positional_embedding", "class_embedding", "text_projection",
+             "proj", "logit_scale")):
+        out = out[:-1]
+    return ".".join(out)
 
 
 # --------------------------------------------------------------------------- #
