@@ -29,21 +29,24 @@ Dtype = Any
 
 
 def rotary_embedding(seq_len: int, dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rotary cos/sin tables (rotary_embedding_torch equivalent)."""
+    """Rotary cos/sin tables in the rotary-embedding-torch==0.2.1
+    convention the reference depends on (requirements.txt:20): each
+    frequency is repeated INTERLEAVED ([f0,f0,f1,f1,...]), not
+    half-split — parity-tested in tests/test_parity_blocks_legacy.py."""
     inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2) / dim))
     t = jnp.arange(seq_len, dtype=jnp.float32)
-    freqs = jnp.outer(t, inv_freq)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    freqs = jnp.outer(t, inv_freq)           # [n, dim/2]
+    emb = jnp.repeat(freqs, 2, axis=-1)      # [n, dim] interleaved
     return jnp.cos(emb), jnp.sin(emb)
 
 
 def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
-    """x: [..., seq, dim_rot]; rotate-half convention."""
+    """x: [..., seq, >=dim_rot]; interleaved-pair rotation
+    (rotary_embedding_torch.rotate_half: (x0,x1) -> (-x1,x0))."""
     d = cos.shape[-1]
     x_rot, x_pass = x[..., :d], x[..., d:]
-    half = d // 2
-    x1, x2 = x_rot[..., :half], x_rot[..., half:]
-    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    x1, x2 = x_rot[..., 0::2], x_rot[..., 1::2]
+    rotated = jnp.stack([-x2, x1], axis=-1).reshape(x_rot.shape)
     return jnp.concatenate([x_rot * cos + rotated * sin, x_pass], axis=-1)
 
 
@@ -97,8 +100,10 @@ class TemporalAttentionBlock(nn.Module):
         x_in = x
         xn = GroupNorm32(dtype=self.dtype, name="norm")(x)
         tokens = xn.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
-                       name="to_qkv")(tokens)
+        # reference to_qkv/to_out carry biases and to_out is NOT zero-init
+        # (util.py:1091-1096: both commented out) — kernel init kept zero
+        # here as our fresh-init convention; irrelevant once weights load
+        qkv = nn.Dense(inner * 3, dtype=self.dtype, name="to_qkv")(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         n, s = q.shape[0], q.shape[1]
         q = q.reshape(n, s, self.heads, self.dim_head)
@@ -112,15 +117,22 @@ class TemporalAttentionBlock(nn.Module):
         bias = jnp.zeros((self.heads, f, f), jnp.float32)
         if pos_bias is not None:
             bias = bias + pos_bias
-        if video_mask is not None:
-            # mask out padded frames (columns) per sample
-            vm = jnp.where(video_mask[:, None, None, :], 0.0, -1e9)
-            # broadcast per-sample over its h*w token rows
-            vm = jnp.repeat(vm, h * w, axis=0)
-            bias = bias[None] + vm
+        if video_mask is not None and focus_present_mask is None:
+            # reference masks rows AND columns (util.py:1152-1155:
+            # video_mask[:,None,:] * video_mask[:,:,None]) and only when
+            # no focus mask is given (elif at :1156)
+            vm = video_mask[:, None, :] & video_mask[:, :, None]  # [b,f,f]
+            vm = jnp.where(vm, 0.0, -1e9)
+            vm = jnp.repeat(vm, h * w, axis=0)  # rows of each sample
+            bias = bias[None] + vm[:, None]
+        if self.use_sim_mask:
+            # causal similarity mask (util.py:1166-1168)
+            sm = jnp.where(jnp.tril(jnp.ones((f, f), bool)), 0.0, -1e9)
+            bias = bias + sm
         o = attention(q, k, v, bias=bias)
         if focus_present_mask is not None:
-            # arrested attention across time: identity for focused samples
+            # arrested attention across time: attend-self == pass v
+            # through (util.py:1113-1120, 1156-1165)
             fp = jnp.repeat(focus_present_mask, h * w, axis=0)
             o = jnp.where(fp[:, None, None, None], v, o)
         o = o.reshape(n, s, inner)
