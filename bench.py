@@ -708,8 +708,17 @@ def main():
             emit(rec3)  # rec2 already emitted inside
         guarded("720p", 300, 450, _720p)
     if not os.environ.get("BENCH_SKIP_TRAIN"):
-        guarded("train_step_adamw_ema", 60, 180, bench_train, peak,
-                "adamw_ema")
+        # reference training semantics (AdamW + EMA) for the 1.4B UNet
+        # need >= 2-way FSDP: f32 params 5.6 GB + bf16 moments 5.6 +
+        # bf16 EMA 2.8 + grads + activations exceed one 16 GB chip at
+        # ANY batch (measured RESOURCE_EXHAUSTED at b1, BENCH r04).
+        # dryrun_multichip proves the sharded path; record the math
+        # instead of burning ~3 min of budget on guaranteed OOMs.
+        emit({"name": "train_step_adamw_ema",
+              "infeasible_single_chip": True,
+              "memory_gb": {"params_f32": 5.6, "adamw_m_v_bf16": 5.6,
+                            "ema_bf16": 2.8, "budget": 16.0},
+              "multichip_path": "dryrun_multichip (FSDP>=2)"})
 
 
 if __name__ == "__main__":

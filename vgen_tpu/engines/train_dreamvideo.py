@@ -31,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import (AUTO_ENCODER, DATASETS, DIFFUSION, EMBEDDER,
-                    EMBEDMANAGER, ENGINE, MODEL, PRETRAIN, default_cfg,
-                    merge_update, setup_logging, setup_seed)
+                    EMBEDMANAGER, ENGINE, MODEL, PRETRAIN, VISUAL,
+                    default_cfg, merge_update, setup_logging, setup_seed)
 from ..data.datasets import SyntheticVideoDataset, batch_iterator
 from ..parallel.mesh import batch_sharding, create_mesh, shard_params
 from ..utils.optim import annealing_lr, build_optimizer, freeze_mask
@@ -169,6 +169,12 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
     _, _, zero_y = clip_encoder(text=[""])
     bsh = batch_sharding(mesh)
 
+    # visual hook (reference train_dreamvideo_entrance.py:214-216,315-335)
+    viz = None
+    if cfg.get("visual_train") and cfg.visual_train.get("type") in VISUAL:
+        viz = VISUAL.build(dict(cfg.visual_train), cfg=cfg, model=model,
+                           diffusion=diffusion, autoencoder=autoencoder)
+
     num_steps = int(cfg.num_steps)
     step = resume_step
     t_last = time.time()
@@ -200,6 +206,25 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
             t_last = time.time()
             logger.info("dreamvideo step %d/%d loss %.4f %.2fs/it", step,
                         num_steps, float(metrics["loss"]), dt)
+        if viz is not None and step % int(cfg.viz_interval) == 0:
+            try:
+                # conditioning with the learned '*' token active: TI rows
+                # injected into the text tower (reference :315-335)
+                tok_emb = custom_embedder.module.apply(
+                    custom_embedder.params, tokens, method="embed_tokens")
+                tok_emb = manager.apply(state["params"]["ti"], tokens,
+                                        tok_emb)
+                y_words = custom_embedder.module.apply(
+                    custom_embedder.params, tok_emb, tokens, clip_layer_idx,
+                    method="encode_text_hidden_override")
+                viz.run(state["params"]["unet"], zero_y=zero_y,
+                        y_words=y_words, step=step,
+                        captions=batch["captions"],
+                        adapter_condition=adapter_cond)
+            except Exception as e:  # noqa: BLE001
+                if cfg.get("strict_hooks"):
+                    raise
+                logger.warning("visual hook failed: %s", e)
         if step % int(cfg.save_ckp_interval) == 0 and jax.process_index() == 0:
             # save ONLY the customization: embeddings + trainable subtree
             # (reference partial state dicts :339-364)

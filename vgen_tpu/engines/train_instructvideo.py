@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import (DATASETS, DIFFUSION, ENGINE, PRETRAIN, default_cfg,
-                    merge_update, setup_logging, setup_seed)
+from ..core import (DATASETS, DIFFUSION, ENGINE, PRETRAIN, VISUAL,
+                    default_cfg, merge_update, setup_logging, setup_seed)
 from ..data.datasets import SyntheticVideoDataset, batch_iterator
 from ..models.reward import (DDPORewardModel, DiffRewardModel,
                              RWRRewardModel)
@@ -259,6 +259,14 @@ def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
     _, _, zero_y = clip_encoder(text=[""])
     bsh = batch_sharding(mesh)
 
+    # visual hook (reference train_t2v_instructvideo_entrance.py:247-249,
+    # 409-425: samples with the LoRA-merged model — our LoRA deltas live
+    # in the training params, so the plain params tree is already merged)
+    viz = None
+    if cfg.get("visual_train") and cfg.visual_train.get("type") in VISUAL:
+        viz = VISUAL.build(dict(cfg.visual_train), cfg=cfg, model=model,
+                           diffusion=diffusion, autoencoder=autoencoder)
+
     num_steps = int(cfg.num_steps)
     step = resume_step
     t_last = time.time()
@@ -287,6 +295,14 @@ def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
             t_last = time.time()
             logger.info("instructvideo step %d/%d reward-loss %.5f %.2fs/it",
                         step, num_steps, float(metrics["loss"]), dt)
+        if viz is not None and step % int(cfg.viz_interval) == 0:
+            try:
+                viz.run(state["params"], zero_y=zero_y, y_words=y_words,
+                        step=step, captions=batch["captions"])
+            except Exception as e:  # noqa: BLE001
+                if cfg.get("strict_hooks"):
+                    raise
+                logger.warning("visual hook failed: %s", e)
         if step % int(cfg.save_ckp_interval) == 0 and jax.process_index() == 0:
             save_checkpoint(log_dir, state, use_ema=False)
 

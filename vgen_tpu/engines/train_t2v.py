@@ -354,6 +354,11 @@ def train_worker(cfg):
                 viz.run(state["params"], zero_y=zero_y, y_words=y_words,
                         step=step, captions=batch["captions"])
             except Exception as e:  # noqa: BLE001 (reference wraps in try)
+                # strict_hooks: re-raise so tests/CI can't silently pass
+                # with a broken hook (the reference always swallows,
+                # train_t2v_enterance.py:273-289)
+                if cfg.get("strict_hooks"):
+                    raise
                 logger.warning("visual hook failed: %s", e)
         if step % save_interval == 0:
             # all processes participate: orbax coordinates multi-host
