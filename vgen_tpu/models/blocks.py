@@ -52,6 +52,12 @@ default_kernel = nn.initializers.lecun_normal()
 # as tested, checkpoint-compatible formulations for future hardware.
 CONV_IMPL = os.environ.get("VGEN_CONV_IMPL", "xla")
 GN_IMPL = os.environ.get("VGEN_GN_IMPL", "flax")
+# Fused TemporalTransformer inner kernel (ops/fused_tt.py): "auto" (on
+# TPU, inference-only shapes), "off", or "interpret" (CPU tests force the
+# Pallas interpreter). The fused path reads the SAME param tree the flax
+# modules create (init always runs unfused), so checkpoints/importer are
+# oblivious to it.
+FUSED_TT = os.environ.get("VGEN_FUSED_TT", "auto")
 
 
 def sinusoidal_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -413,6 +419,20 @@ class TemporalTransformer(nn.Module):
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
+    def _use_fused_inner(self, f: int, inner: int, dtype) -> bool:
+        """Route through ops/fused_tt.py: inference (deterministic, no
+        dropout rng), depth 1, no LoRA, TPU-compatible shape. Init always
+        runs the flax modules so the param tree is identical either way."""
+        if FUSED_TT == "off" or self.is_initializing():
+            return False
+        if self.depth != 1 or self.use_lora or not self.deterministic:
+            return False
+        from ..ops.attention import _on_tpu
+        from ..ops.fused_tt import fusable
+        if not fusable(f, inner, self.heads, self.dim_head, dtype):
+            return False
+        return FUSED_TT == "interpret" or _on_tpu()
+
     @nn.compact
     def __call__(self, x):
         b, f, h, w, c = x.shape
@@ -422,15 +442,21 @@ class TemporalTransformer(nn.Module):
         # (b h w) f c — pixels into batch, frames as tokens
         x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
         x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
-        for d in range(self.depth):
-            x = BasicTransformerBlock(
-                self.heads, self.dim_head, self.dropout, has_cross=True,
-                use_lora=self.use_lora, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha,
-                deterministic=self.deterministic, dtype=self.dtype,
-                name=f"block_{d}")(x, None)
-        x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
-                     dtype=self.dtype, name="proj_out")(x)
+        if self._use_fused_inner(f, inner, x.dtype):
+            from ..ops import fused_tt
+            x = fused_tt.fused_tt_inner(
+                x, self.variables["params"], heads=self.heads,
+                dim_head=self.dim_head, interpret=FUSED_TT == "interpret")
+        else:
+            for d in range(self.depth):
+                x = BasicTransformerBlock(
+                    self.heads, self.dim_head, self.dropout, has_cross=True,
+                    use_lora=self.use_lora, lora_rank=self.lora_rank,
+                    lora_alpha=self.lora_alpha,
+                    deterministic=self.deterministic, dtype=self.dtype,
+                    name=f"block_{d}")(x, None)
+            x = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
+                         dtype=self.dtype, name="proj_out")(x)
         x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
         if self.multiply_zero or (self.zero_if_single_frame and f == 1):
             return x_in + 0.0 * x
