@@ -246,8 +246,14 @@ def _attn_kernel(x_ref, ln_s, ln_b, wq, wk, wv, wo, bo, out_ref, o_scr,
 
 
 def fused_ln_attn(x, ln, attn, *, heads: int, dim_head: int,
-                  tokens_per_block: int = 1024, interpret: bool = False):
-    """x + to_out(attention(LN(x))): one kernel. x [BHW, F, C]."""
+                  tokens_per_block: int = 512, interpret: bool = False):
+    """x + to_out(attention(LN(x))): one kernel. x [BHW, F, C].
+
+    tokens_per_block=512: at C=640 (the only split-path width) the
+    kernel's scoped-VMEM stack is ~19.5 MB with 1024 tokens — over the
+    16 MB per-core scoped limit, which aborts the compile ("Ran out of
+    memory in memory space vmem ... on stack"). 512 tokens fit with
+    margin; measured on v5e across BHW 896..14080."""
     bhw, f, c = x.shape
     rows_pb = max(tokens_per_block // f, 128 // f)
     pad = _ceil_to(bhw, rows_pb) - bhw
