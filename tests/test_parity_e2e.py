@@ -79,3 +79,77 @@ def test_e2e_ddim_cfg_parity():
                                ref_out.numpy(), rtol=2e-2, atol=2e-2)
     # and they should be meaningfully non-trivial
     assert float(jnp.abs(out).mean()) > 0.05
+
+
+def test_e2e_ddim_cfg_parity_fused_interpret(monkeypatch):
+    """Same fixed-noise CFG-DDIM chain, but through the EXACT code path
+    the TPU headline number rides on: bf16 model + fused-TT dispatch
+    (Pallas interpreter on CPU). Asserts the fused kernel really ran
+    (dispatch can silently fall back) and that the final latents still
+    match the torch reference at a bf16-wide tolerance (VERDICT r4 #4).
+    """
+    from vgen_tpu.models import blocks
+    from vgen_tpu.ops import fused_tt
+
+    ref_unet_mod = load_ref_unet_t2v()
+    ref_ddim_mod = load_ref_ddim()
+    # head_dim 16 is not fusable (dispatch requires lane-aligned heads);
+    # use the model zoo's head_dim 64 at a tiny width
+    unet = dict(UNET, dim=64, num_heads=1, head_dim=64)
+    ref = ref_unet_mod.UNetSD_T2VBase(**unet).eval()
+    ref_diff = ref_ddim_mod.DiffusionDDIM(**SCHED)
+
+    mine = MODEL.build(dict(unet, type="UNetSD_T2VBase"), dtype=jnp.bfloat16)
+    diff = DiffusionDDIM(**SCHED)
+
+    b, f, h, w = 1, 2, 16, 16
+    x0j = jnp.zeros((b, f, h, w, 4))
+    t0 = jnp.zeros((b,), jnp.int32)
+    rng = np.random.RandomState(7)
+    y = rng.randn(b, 7, 1024).astype(np.float32)
+    zero_y = rng.randn(b, 7, 1024).astype(np.float32)
+    params = mine.init(jax.random.PRNGKey(0), x0j, t0, y=jnp.asarray(y))
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = remap_state_dict(params, sd, translate_unet, "e2e", strict=True)
+
+    xt = rng.randn(b, 4, f, h, w).astype(np.float32)
+    gs, steps = 5.0, 10
+
+    with torch.no_grad():
+        ref_out = ref_diff.ddim_sample_loop(
+            noise=torch.from_numpy(xt), model=ref,
+            model_kwargs=[{"y": torch.from_numpy(y)},
+                          {"y": torch.from_numpy(zero_y)}],
+            guide_scale=gs, ddim_timesteps=steps)
+
+    hits = []
+    real_inner = fused_tt.fused_tt_inner
+
+    def counting_inner(*a, **k):
+        hits.append(1)
+        return real_inner(*a, **k)
+
+    monkeypatch.setattr(fused_tt, "fused_tt_inner", counting_inner)
+    monkeypatch.setattr(blocks, "FUSED_TT", "interpret")
+
+    yj, zj = jnp.asarray(y), jnp.asarray(zero_y)
+
+    def model_fn(x, t):
+        tb = jnp.broadcast_to(t, (x.shape[0],)) if t.ndim == 0 else t
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([tb, tb], axis=0)
+        ctx = jnp.concatenate([yj, zj], axis=0)
+        out = mine.apply(params, x2, t2, y=ctx)
+        y_out, u_out = jnp.split(out, 2, axis=0)
+        return diff.classifier_free_guidance(y_out, u_out, gs)
+
+    noise_j = jnp.asarray(xt.transpose(0, 2, 3, 4, 1))
+    out = diff.ddim_sample_loop(jax.random.PRNGKey(1), noise_j, model_fn,
+                                ddim_timesteps=steps)
+    assert hits, "fused dispatch never fired — gate regressed"
+    got = np.asarray(out, np.float32).transpose(0, 4, 1, 2, 3)
+    want = ref_out.numpy()
+    # bf16 compute + 10 chained steps: wider bound than the f32 test
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert rel < 0.1, f"rel err {rel}"
+    assert float(jnp.abs(out).mean()) > 0.05

@@ -157,10 +157,18 @@ def main():
         with open(out_path, "w") as fh:
             json.dump(rec, fh, indent=2)
     m = rec["mem_per_device_gb"]
-    print(f"sharded-720p mem/device [{target}]: "
+    # cpu-virtual memory assignment is NOT what a TPU would allocate
+    # (cpu XLA barely fuses: r4 measured 38.7 GB vs 3.0 GB on the real
+    # TPU compile) — label it and never imply it was persisted when the
+    # tpu-topology artifact was kept instead (VERDICT r4 weak #5).
+    qual = "" if target.startswith("tpu") else \
+        " [cpu compile — NON-AUTHORITATIVE for TPU HBM]"
+    dest = f" -> {out_path}" if not keep else \
+        f" (kept committed tpu-topology record in {os.path.basename(out_path)})"
+    print(f"sharded-720p mem/device [{target}]{qual}: "
           f"args {m['args_gb']} GB, temp {m['temp_gb']} GB, "
           f"total {m['total_gb']} GB "
-          f"(compile {dt:.0f}s) -> {out_path}")
+          f"(compile {dt:.0f}s){dest}")
 
 
 if __name__ == "__main__":

@@ -43,11 +43,17 @@ def bench(name, fn, *args, n=50, flops=0.0):
     return dt
 
 
-# (B, F, H, W, C, heads): the TT instances of the base UNet at 448x256
+# (B, F, H, W, C, heads): the TT instances of the base UNet at 448x256,
+# plus the i2vgen 720p shapes (1280x704 latents, sequential CFG b1) —
+# c640 at BHW 3520 routes through the SPLIT kernels, never separately
+# benchmarked before r5 (VERDICT r4 weak #3: 720p throughput regressed
+# 0.481 -> 0.47 builder-side and the split path was the suspect).
 SHAPES = [
     (2, 16, 32, 56, 320, 5),    # 4x in the model (enc x2 + dec x3 - init)
     (2, 16, 16, 28, 640, 10),   # 5x
     (2, 16, 8, 14, 1280, 20),   # 5x (XLA path — fusion off above 640)
+    (1, 16, 88, 160, 320, 5),   # 720p scale-1 (BHW 14080, mega kernel)
+    (1, 16, 44, 80, 640, 10),   # 720p scale-2 (BHW 3520, split kernels)
 ]
 
 

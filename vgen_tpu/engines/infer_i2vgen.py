@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from ..models import blocks
 from ..core import (AUTO_ENCODER, DIFFUSION, EMBEDDER, INFER_ENGINE, MODEL,
                     assign_signle_cfg, default_cfg, merge_update,
                     setup_logging, setup_seed)
@@ -92,12 +93,18 @@ def make_i2vgen_generate_fn(cfg, model, autoencoder, diffusion):
             tb = jnp.broadcast_to(t, (xt.shape[0],)) if t.ndim == 0 else t
             with spatial_shard_ctx(sp_mesh):
                 if seq_cfg:
-                    y_out = model.apply(unet_params, xt, tb, y=y_words,
-                                        image=y_visual,
-                                        local_image=local_image, fps=fps)
-                    u_out = model.apply(unet_params, xt, tb, y=y_negative,
-                                        image=uncond_image,
-                                        local_image=local_image, fps=fps)
+                    # sequential CFG as a length-2 lax.map so the UNet
+                    # body is inlined ONCE (two separate .apply calls
+                    # duplicate the whole 1.4B-param program: 2x the XLA
+                    # code, ~2x the compile time — the r4 driver bench
+                    # lost 3 records to exactly that compile tax)
+                    ctx2 = jnp.stack([y_words, y_negative])
+                    img2 = jnp.stack([y_visual, uncond_image])
+                    y_out, u_out = jax.lax.map(
+                        lambda c: model.apply(
+                            unet_params, xt, tb, y=c[0], image=c[1],
+                            local_image=local_image, fps=fps),
+                        (ctx2, img2))
                 else:
                     x2 = jnp.concatenate([xt, xt], axis=0)
                     t2 = jnp.concatenate([tb, tb], axis=0)
@@ -201,6 +208,7 @@ def inference_i2vgen_entrance(cfg_update, **kwargs):
     rank = jax.process_index()
     setup_logging(save_dir, rank=rank)
     key = setup_seed(int(cfg.seed) + rank)
+    blocks.set_fused_tt(None)  # restore env default (trainers turn it off)
 
     from .infer_t2v import build_t2v_models
     clip_encoder, autoencoder, model, unet_params, diffusion = \

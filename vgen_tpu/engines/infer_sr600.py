@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import blocks
 from ..core import (AUTO_ENCODER, DIFFUSION, EMBEDDER, INFER_ENGINE, MODEL,
                     assign_signle_cfg, default_cfg, merge_update,
                     setup_logging, setup_seed)
@@ -98,8 +99,12 @@ def make_sr_fn(cfg, model, autoencoder, diffusion):
             yb = jnp.broadcast_to(y_words, (b,) + y_words.shape[1:])
             zb = jnp.broadcast_to(zero_y, (b,) + zero_y.shape[1:])
             if seq_cfg:
-                y_out = model.apply(unet_params, xt, t, y=yb)
-                u_out = model.apply(unet_params, xt, t, y=zb)
+                # length-2 lax.map: ONE inlined UNet body instead of two
+                # (halves program size + compile time; execution is
+                # sequential, so peak memory matches the two-call form)
+                y_out, u_out = jax.lax.map(
+                    lambda c: model.apply(unet_params, xt, t, y=c),
+                    jnp.stack([yb, zb]))
             else:
                 x2 = jnp.concatenate([xt, xt], axis=0)
                 t2 = jnp.concatenate([t, t], axis=0)
@@ -249,6 +254,7 @@ def inference_sr600_entrance(cfg_update, **kwargs):
     rank = jax.process_index()
     setup_logging(save_dir, rank=rank)
     key = setup_seed(int(cfg.seed) + rank)
+    blocks.set_fused_tt(None)  # restore env default (trainers turn it off)
 
     from .infer_t2v import build_t2v_models
     clip_encoder, autoencoder, model, unet_params, diffusion = \

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import blocks
 from ..core import (AUTO_ENCODER, DIFFUSION, EMBEDDER, INFER_ENGINE, MODEL,
                     assign_signle_cfg, default_cfg, merge_update, setup_logging,
                     setup_seed)
@@ -110,7 +111,10 @@ def build_t2v_models(cfg, key):
     t0 = jnp.zeros((1,), jnp.int32)
     y0 = jnp.zeros((1, 77, cfg.UNet["context_dim"]))
     init_kwargs = model_init_kwargs(cfg, lat_h, lat_w, frames=2)
-    unet_params = model.init(k3, x0, t0, y=y0, **init_kwargs)
+    # jit the init: eager tracing dispatches each initializer op
+    # individually (~8 min for the 1.4B UNet through the TPU tunnel)
+    unet_params = jax.jit(lambda k: model.init(
+        k, x0, t0, y=y0, **init_kwargs))(k3)
 
     test_model = cfg.get("test_model")
     if test_model and os.path.exists(test_model):
@@ -211,6 +215,7 @@ def inference_text2video_entrance(cfg_update, **kwargs):
     rank = jax.process_index()
     setup_logging(save_dir, rank=rank)
     key = setup_seed(int(cfg.seed) + rank)
+    blocks.set_fused_tt(None)  # restore env default (trainers turn it off)
 
     logger.info("devices: %s", jax.devices())
     t_build = time.time()

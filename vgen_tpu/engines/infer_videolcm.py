@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import blocks
 from ..core import (INFER_ENGINE, assign_signle_cfg, default_cfg,
                     merge_update, setup_logging, setup_seed)
 from ..data.video_io import save_video
@@ -86,6 +87,7 @@ def _videolcm_worker(cfg_update, conditioned: bool):
     rank = jax.process_index()
     setup_logging(save_dir, rank=rank)
     key = setup_seed(int(cfg.seed) + rank)
+    blocks.set_fused_tt(None)  # restore env default (trainers turn it off)
 
     from .infer_t2v import build_t2v_models
     clip_encoder, autoencoder, model, unet_params, diffusion = \

@@ -34,6 +34,7 @@ from ..core import (AUTO_ENCODER, DATASETS, DIFFUSION, EMBEDDER,
                     EMBEDMANAGER, ENGINE, MODEL, PRETRAIN, VISUAL,
                     default_cfg, merge_update, setup_logging, setup_seed)
 from ..data.datasets import SyntheticVideoDataset, batch_iterator
+from ..models import blocks
 from ..parallel.mesh import batch_sharding, create_mesh, shard_params
 from ..utils.optim import annealing_lr, build_optimizer, freeze_mask
 
@@ -47,6 +48,7 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir, rank=jax.process_index())
     key = setup_seed(int(cfg.seed))
+    blocks.set_fused_tt("off")  # one numeric path for all models in training
     mesh = create_mesh()
 
     from .train_t2v import _build_models, make_prepare_fn, save_checkpoint

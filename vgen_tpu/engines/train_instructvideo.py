@@ -28,6 +28,7 @@ from ..core import (DATASETS, DIFFUSION, ENGINE, PRETRAIN, VISUAL,
 from ..data.datasets import SyntheticVideoDataset, batch_iterator
 from ..models.reward import (DDPORewardModel, DiffRewardModel,
                              RWRRewardModel)
+from ..models import blocks
 from ..parallel.mesh import batch_sharding, create_mesh, shard_params
 from ..utils.optim import annealing_lr, build_optimizer, freeze_mask
 
@@ -42,6 +43,7 @@ def train_t2v_instructvideo_entrance(cfg_update, **kwargs):
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir, rank=jax.process_index())
     key = setup_seed(int(cfg.seed))
+    blocks.set_fused_tt("off")  # one numeric path for all models in training
     mesh = create_mesh()
 
     from .train_t2v import _build_models, make_prepare_fn, save_checkpoint

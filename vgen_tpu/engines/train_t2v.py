@@ -37,6 +37,7 @@ from ..core import (AUTO_ENCODER, DATASETS, DIFFUSION, EMBEDDER, ENGINE,
                     MODEL, PRETRAIN, VISUAL, default_cfg, merge_update,
                     setup_logging, setup_seed)
 from ..data.datasets import SyntheticVideoDataset, batch_iterator
+from ..models import blocks
 from ..parallel.mesh import (batch_sharding, create_mesh, param_shardings,
                              replicated, shard_params)
 from ..parallel.multihost import global_batch, replicate_to_mesh
@@ -67,8 +68,9 @@ def _build_models(cfg, key, frames_example: int):
     y0 = jnp.zeros((1, 77, cfg.UNet["context_dim"]))
     from .infer_t2v import model_init_kwargs
     init_kwargs = model_init_kwargs(cfg, lat_h, lat_w, frames=frames_example)
-    params = model.init({"params": k3, "dropout": k3}, x0, t0, y=y0,
-                        **init_kwargs)
+    # jit the init (eager is op-by-op: ~minutes through the TPU tunnel)
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": k}, x0, t0, y=y0, **init_kwargs))(k3)
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
     return clip_encoder, autoencoder, model, params, diffusion
 
@@ -182,6 +184,9 @@ def train_worker(cfg):
     rank = jax.process_index()
     setup_logging(log_dir, rank=rank, rank0_only=False)
     key = setup_seed(int(cfg.seed))
+    # one numeric path for every model in a train step (incl. eval-mode
+    # teachers and visual-hook sampling) — see blocks.set_fused_tt
+    blocks.set_fused_tt("off")
 
     # ---- mesh: data x fsdp (reference DDP/FSDP, :165-171) ----------------
     fsdp = int(cfg.get("fsdp_size", 1)) if cfg.get("use_fsdp") else 1

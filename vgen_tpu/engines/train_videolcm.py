@@ -33,6 +33,7 @@ from ..data.datasets import SyntheticVideoDataset, batch_iterator
 from ..diffusion.lcm import (DDIMSolver, guidance_scale_embedding,
                              predicted_origin, scalings_for_boundary_conditions,
                              append_dims)
+from ..models import blocks
 from ..parallel.mesh import batch_sharding, create_mesh, shard_params
 from ..utils.optim import annealing_lr, build_optimizer
 
@@ -137,6 +138,9 @@ def train_videolcm_t2v_entrance(cfg_update, **kwargs):
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir, rank=jax.process_index())
     key = setup_seed(int(cfg.seed))
+    # student / frozen teacher / EMA target must share one numeric path:
+    # the consistency Huber loss (huber_c 1e-3) compares their outputs
+    blocks.set_fused_tt("off")
     mesh = create_mesh(fsdp=int(cfg.get("fsdp_size", 1))
                        if cfg.get("use_fsdp") else 1)
 

@@ -288,7 +288,9 @@ class AutoencoderKL:
     def init_random(self, key, image_size: int = 32):
         x = jnp.zeros((1, image_size, image_size,
                        self.ddconfig.get("in_channels", 3)))
-        self.params = self.module.init(key, x, sample_posterior=False)
+        # jit: eager init is op-by-op (~minutes through the TPU tunnel)
+        self.params = jax.jit(lambda k: self.module.init(
+            k, x, sample_posterior=False))(key)
         return self.params
 
     def load_params(self, params):

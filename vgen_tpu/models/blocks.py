@@ -60,6 +60,21 @@ GN_IMPL = os.environ.get("VGEN_GN_IMPL", "flax")
 FUSED_TT = os.environ.get("VGEN_FUSED_TT", "auto")
 
 
+def set_fused_tt(mode=None):
+    """Set the fused-TT dispatch mode for this process; ``None`` restores
+    the env default. Train engines call ``set_fused_tt("off")`` at worker
+    entry so every model in a training step (e.g. the VideoLCM student /
+    frozen teacher / EMA target trio, where teacher+target run with
+    deterministic=True) shares ONE numeric path — the fused kernel is
+    validated for inference, not for loss landscapes that compare two
+    paths (ADVICE r4). Infer engines reset to the env default. The flag
+    is read at TRACE time, so it must be set before the first jit call."""
+    global FUSED_TT
+    FUSED_TT = os.environ.get("VGEN_FUSED_TT", "auto") if mode is None \
+        else mode
+    return FUSED_TT
+
+
 def sinusoidal_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Timestep/fps embedding. NOTE the reference concatenates cos FIRST,
     then sin (reference util.py:178-190) — kept for weight compatibility."""

@@ -414,7 +414,10 @@ class _FrozenCLIPBase:
         tokens = jnp.zeros((1, self.max_length), jnp.int32)
         sz = ARCHS[self.arch]["vision"]["image_size"]
         img = jnp.zeros((1, sz, sz, 3))
-        self.params = self.module.init(key, tokens, img)
+        # jit: eager init dispatches thousands of tiny initializer ops
+        # one-by-one — ~minutes through the axon TPU tunnel
+        self.params = jax.jit(
+            lambda k: self.module.init(k, tokens, img))(key)
         return self.params
 
     def load_params(self, params):

@@ -351,9 +351,14 @@ SPLIT_MAX_C = 640
 
 
 def fusable(f: int, c: int, heads: int, dim_head: int, dtype) -> bool:
-    """Static dispatch: can the fused path run this shape?"""
+    """Static dispatch: can the fused path run this shape?
+
+    dim_head is pinned to 64 — the only value in the shipped model zoo
+    and the only one validated on-chip (tests/test_fused_tt_tpu.py /
+    tools_dev/check_fused_tt_onchip.py); an unusual head size would hit
+    an untested Mosaic lowering at runtime (ADVICE r4)."""
     return (f >= 1 and 128 % f == 0 and c == heads * dim_head
-            and dim_head % 8 == 0
+            and dim_head == 64
             and c <= SPLIT_MAX_C and dtype == jnp.bfloat16)
 
 
