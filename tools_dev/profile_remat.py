@@ -26,7 +26,8 @@ ucfg = dict(type="UNetSD_T2VBase", in_dim=4, dim=320, y_dim=1024,
             context_dim=1024, out_dim=4, dim_mult=[1, 2, 4, 4],
             num_heads=8, head_dim=64, num_res_blocks=2,
             attn_scales=[1.0, 0.5, 0.25], dropout=0.1,
-            temporal_attention=True, use_checkpoint=True,
+            temporal_attention=True,
+            use_checkpoint=os.environ.get("PROF_CKPT", "1") == "1",
             training=True, dtype=jnp.bfloat16)
 dcfg = {"type": "DiffusionDDIM", "schedule": "linear_sd",
         "schedule_param": {"num_timesteps": 1000, "init_beta": 0.00085,
@@ -34,7 +35,10 @@ dcfg = {"type": "DiffusionDDIM", "schedule": "linear_sd",
         "mean_type": "eps", "loss_type": "mse", "var_type": "fixed_small",
         "noise_strength": 0.0}
 
-for policy in (None, "attn"):
+POLICIES = [None if p == "none" else p for p in
+            os.environ.get("PROF_POLICIES", "none,attn").split(",")]
+
+for policy in POLICIES:
     try:
         model = MODEL.build(dict(ucfg, remat_policy=policy))
         diffusion = DIFFUSION.build(dict(dcfg))

@@ -51,7 +51,10 @@ default_kernel = nn.initializers.lecun_normal()
 # matmul+stats 233.4. Defaults stay "xla"/"flax"; the alternates remain
 # as tested, checkpoint-compatible formulations for future hardware.
 CONV_IMPL = os.environ.get("VGEN_CONV_IMPL", "xla")
-GN_IMPL = os.environ.get("VGEN_GN_IMPL", "flax")
+# "named" (default, r5): flax-identical GN math with checkpoint_name-
+# tagged stats so remat policies can save them; "flax": nn.GroupNorm;
+# "stats": the (measured-slower) Pallas stats kernel.
+GN_IMPL = os.environ.get("VGEN_GN_IMPL", "named")
 # Fused TemporalTransformer inner kernel (ops/fused_tt.py): "auto" (on
 # TPU, inference-only shapes), "off", or "interpret" (CPU tests force the
 # Pallas interpreter). The fused path reads the SAME param tree the flax
@@ -231,8 +234,42 @@ class GroupNorm32(nn.Module):
         if GN_IMPL == "stats":
             return _StatsGN(num_groups=g, epsilon=self.epsilon,
                             dtype=self.dtype, name="norm")(x)
-        return nn.GroupNorm(num_groups=g, epsilon=self.epsilon,
-                            dtype=self.dtype, name="norm")(x)
+        if GN_IMPL == "flax":
+            return nn.GroupNorm(num_groups=g, epsilon=self.epsilon,
+                                dtype=self.dtype, name="norm")(x)
+        return _NamedStatsGN(num_groups=g, epsilon=self.epsilon,
+                             dtype=self.dtype, name="norm")(x)
+
+
+class _NamedStatsGN(nn.Module):
+    """GroupNorm numerically identical to flax nn.GroupNorm
+    (use_fast_variance path: f32 mean / E[x^2]-E[x]^2, rsqrt(var+eps)),
+    with the per-(sample, group) stats tagged via ``checkpoint_name`` so
+    a remat policy can SAVE them: the r5 train trace puts 17% of step
+    time in reduces — largely the backward replay recomputing GN stats —
+    and saving [N, 32] f32 stats costs ~nothing (remat_policy="attn_gn",
+    unet_t2v.py). Param tree matches nn.GroupNorm (scale/bias under the
+    same "norm" scope)."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (g, c // g))
+        red = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = xf.mean(red, keepdims=True)
+        var = (xf * xf).mean(red, keepdims=True) - mean * mean
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        mean = checkpoint_name(mean, "gn_stats")
+        rstd = checkpoint_name(rstd, "gn_stats")
+        y = ((xf - mean) * rstd).reshape(x.shape)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
 
 
 class TimestepEmbedding(nn.Module):

@@ -113,6 +113,14 @@ class UNetSD_T2VBase(nn.Module):
             # dot-products a dots policy would store (which OOM at 1.4B)
             "attn": jax.checkpoint_policies.save_only_these_names(
                 "attn_out"),
+            # attn outputs + GroupNorm stats (tiny [N,32,1] f32 pairs —
+            # blocks._NamedStatsGN): the r5 train trace shows 17% of
+            # step time in reduces, largely the bwd replay recomputing
+            # GN stats; saving them is memory-free
+            "attn_gn": jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "gn_stats"),
+            "gn": jax.checkpoint_policies.save_only_these_names(
+                "gn_stats"),
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
