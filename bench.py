@@ -13,8 +13,14 @@ them):
   3. two_stage:   i2vgen-xl (DDIM-50 + decode) -> sr600 (frame doubling,
                   720p resize, VAE encode, 30-step DDIM inversion to
                   level 700, 30-step DPM-Solver++ 2M SDE, decode)
-                  wall-clock, single chip. BASELINE.md target: >3x A100
-                  ("a few minutes" ~ 180 s => < 60 s clears the bar).
+                  wall-clock, single chip. First measured r5: the
+                  workload is ~27 PFLOP total (9.2 stage-1 + 17.8
+                  sr600) — at v5e peak 197 TF/s the FLOP floor alone is
+                  ~137 s, so the r2-era "<60 s clears the bar" reading
+                  of BASELINE.md was arithmetic fiction; the honest
+                  comparison is MFU (we measure 0.43-0.49 per stage)
+                  and the soft 180 s prose figure stays only as the
+                  labeled-estimate denominator.
   4. videolcm:    4-step LCM sampler, no CFG — the fast-generation
                   headline.
   5. train (adafactor): fused train step s/it + MFU at the reference
@@ -266,8 +272,13 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
     adafactor too, utils/optim/adafactor.py) — minimal optimizer HBM.
     flavor="adamw_ema": reference training semantics (AdamW lr 5e-5
     wd 0 + EMA 0.9999, train_t2v_enterance.py:162-176,259-262) with
-    bf16 optimizer state + bf16 EMA (14.0 GB of states; the f32 form is
-    22.4 GB and needs >= 2-way FSDP — proven by dryrun_multichip)."""
+    bf16 params AND bf16 optimizer state + bf16 EMA (11.2 GB of states).
+    An f32 master alone makes the state 14.0 GB — shape-independent, so
+    NO (frames, batch) fits one 16 GB chip (measured: even 4f b1 hits
+    RESOURCE_EXHAUSTED at compile); the f32-master form runs under
+    >= 2-way FSDP — proven by dryrun_multichip. This record is the
+    single-chip measured ANCHOR for the AdamW+EMA semantics (VERDICT r4
+    #5), with the precision deviation stated in its metric string."""
     from vgen_tpu.core import DIFFUSION, MODEL, default_cfg
     from vgen_tpu.engines.train_t2v import make_train_step
     from vgen_tpu.utils.optim import adafactor, adamw_lowmem, annealing_lr
@@ -275,8 +286,12 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
     cfg = default_cfg()
     cfg.update({"max_frames": 16, "resolution": [448, 256],
                 "p_zero": 0.1, "ema_decay": 0.9999, "use_div_loss": False})
+    # remat_policy "attn_gn": save attention outputs + GroupNorm stats —
+    # measured best of {None, attn, attn_gn} at b4 (1843.7 / 1834.2 /
+    # 1808.3 ms/it; no-remat OOMs even at b1), tools_dev/profile_remat.py
     cfg.UNet = dict(cfg.UNet, type="UNetSD_T2VBase", out_dim=4,
-                    use_checkpoint=True, dtype=jnp.bfloat16)
+                    use_checkpoint=True, remat_policy="attn_gn",
+                    dtype=jnp.bfloat16)
 
     model = MODEL.build(dict(cfg.UNet), training=True)
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
@@ -305,13 +320,22 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
     # RESOURCE_EXHAUSTED r4) — anchor the reference-semantics number at
     # 8 frames instead of leaving it purely arithmetic (VERDICT r4 #5).
     attempts = [(16, 4), (16, 2), (16, 1)] if not use_ema else \
-        [(8, 2), (8, 1), (4, 1)]
+        [(8, 1), (4, 1), (2, 1)]
     last_err = None
+    state = params = compiled = None
     for f, b in attempts:
         try:
             # fresh params per attempt: train_step donates the state, so
             # a runtime OOM leaves the previous attempt's buffers deleted
             params = init_params()
+            if use_ema:
+                # bf16 params: the f32 master alone (5.6 GB) + bf16 m/v
+                # (5.6) + bf16 EMA (2.8) exceed the chip before grads —
+                # see the flavor docstring
+                params = jax.jit(lambda p: jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, p),
+                    donate_argnums=0)(params)
             state = {"params": params,
                      "opt_state": optimizer.init(params),
                      "step": jnp.zeros((), jnp.int32)}
@@ -342,6 +366,12 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
             last_err = e
             log(f"train-step[{flavor}] {f}f b{b} failed "
                 f"({type(e).__name__}) — trying smaller")
+            # drop the failed attempt's buffers BEFORE the next attempt
+            # allocates: a compile-time OOM leaves `state` (11.2 GB of
+            # optimizer/EMA buffers) live, which starved every smaller
+            # attempt in cascade (measured r5: 4f b1 OOMed only because
+            # the 8f state was still resident)
+            state = params = compiled = None
             gc.collect()
     else:
         raise last_err
@@ -349,7 +379,8 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
     mfu = flops / sec / peak if np.isfinite(flops) else float("nan")
     log(f"train step[{flavor}]: {f}f b{b} {sec:.3f} s/it, {flops/1e12:.1f} "
         f"TFLOP, MFU {mfu:.3f}")
-    opt_desc = ("adamw(bf16 state)+ema(bf16)" if use_ema else "adafactor")
+    opt_desc = ("adamw(bf16 params+state)+ema(bf16)" if use_ema
+                else "adafactor")
     return {
         "name": f"train_step_448x256_{f}f_b{b}_{flavor}",
         "metric": f"fused train step s/it @ {f}f 448x256 batch {b} "
@@ -526,7 +557,7 @@ def bench_720p(peak: float, emit=None, remaining_fn=None):
     # free ALL stage-1 device state before building SR600 (two 1.4B UNets
     # + 720p activation temps don't fit 16 GB together). seg_args/xt hold
     # references to params — every one must go.
-    del params, dn, dec, latents, model, fwd, frames, xt, xt0, seg_args
+    del params, dn, dec, latents, model, frames, xt, xt0, seg_args
     del local_image
     gc.collect()
     live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
@@ -638,9 +669,13 @@ def bench_sr600(peak, frames_np, autoencoder, y_words, t_denoise, t_decode,
         "sr_denoise_decode_s": round(t_sr, 2),
         "sr_mfu": round(sr_flops / t_sr / peak, 4)
         if np.isfinite(sr_flops) else None,
-        # BASELINE.md: >3x A100 wall-clock, A100 read as 180 s ("a few
-        # minutes", README.MD:168) => < 60 s clears the bar
+        # ESTIMATED denominator (180 s, "a few minutes" README.MD:168).
+        # The two-stage workload is ~27 PFLOP — its FLOP floor at v5e
+        # peak is ~137 s, so wall-clock parity with the prose figure is
+        # the realistic bar; per-stage MFU is the honest metric.
         "vs_baseline": round(180.0 / total, 2),
+        "vs_baseline_basis": "estimate: 180s read from README.MD:168; "
+                             "FLOP floor at v5e peak is ~137s",
     }
     return rec3
 

@@ -46,3 +46,32 @@ def test_fused_tt_onchip_parity():
     assert len(rec["results"]) >= 8
     for r in rec["results"]:
         assert r["rel_err"] < rec["tol"], r
+
+
+@pytest.mark.skipif(os.environ.get("VGEN_SKIP_TPU_TESTS") == "1",
+                    reason="VGEN_SKIP_TPU_TESTS=1")
+def test_fused_tconv_onchip_parity():
+    """Same closure for the fused TemporalConvBlock chain
+    (ops/fused_tconv.py) at every dispatchable model-zoo shape."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.pop("VGEN_FUSED_TCONV", None)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; d=jax.devices()[0]; print(d.platform, d.device_kind)"],
+        capture_output=True, text=True, timeout=180, env=env, cwd=ROOT)
+    if probe.returncode != 0 or "tpu" not in probe.stdout.lower():
+        pytest.skip(f"no TPU backend reachable: {probe.stdout!r} "
+                    f"{probe.stderr[-200:]!r}")
+
+    res = subprocess.run(
+        [sys.executable, "tools_dev/check_fused_tconv_onchip.py"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=ROOT)
+    assert res.returncode == 0, \
+        f"on-chip tconv parity failed:\n{res.stdout}\n{res.stderr[-2000:]}"
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["ok"]
+    assert len(rec["results"]) >= 6
+    for r in rec["results"]:
+        assert r["rel_err"] < rec["tol"], r

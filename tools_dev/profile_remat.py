@@ -12,6 +12,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), "workspace", "jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# PROF_RNG=rbg: hardware-RNG keys for dropout masks (threefry mask
+# generation is pure VPU elementwise work, replayed again under remat)
+if os.environ.get("PROF_RNG"):
+    jax.config.update("jax_default_prng_impl", os.environ["PROF_RNG"])
+
 import vgen_tpu  # noqa: F401
 from vgen_tpu.core import DIFFUSION, MODEL
 from vgen_tpu.core.config import AttrDict
@@ -37,10 +46,19 @@ dcfg = {"type": "DiffusionDDIM", "schedule": "linear_sd",
 
 POLICIES = [None if p == "none" else p for p in
             os.environ.get("PROF_POLICIES", "none,attn").split(",")]
+# per-level remat skip (unet remat_skip_scale): "policy@skip" entries,
+# e.g. PROF_POLICIES="attn_gn@0.25,attn_gn@0.5"
+SKIP = float(os.environ.get("PROF_SKIP", 0.0))
 
 for policy in POLICIES:
+    skip = SKIP
+    if policy and "@" in policy:
+        policy, skip = policy.split("@")
+        skip = float(skip)
+        policy = policy or None
     try:
-        model = MODEL.build(dict(ucfg, remat_policy=policy))
+        model = MODEL.build(dict(ucfg, remat_policy=policy,
+                                 remat_skip_scale=skip))
         diffusion = DIFFUSION.build(dict(dcfg))
         x0s = jnp.zeros((1, 2, LH, LW, 4))
         params = jax.jit(lambda: model.init(
@@ -73,7 +91,7 @@ for policy in POLICIES:
             state, m = comp(state, x, y, zero_y, jax.random.PRNGKey(3 + i))
         np.asarray(m["loss"])
         dt = (time.time() - t0) / N
-        print(f"policy={str(policy):14s} b{B}: {dt*1e3:8.1f} ms/it  "
+        print(f"policy={str(policy):10s}@skip{skip} b{B}: {dt*1e3:8.1f} ms/it  "
               f"{flops/dt/1e12:6.1f} TF/s  temp {ma.temp_size_in_bytes/1e9:.2f} GB  "
               f"(compile {ct:.0f}s)", flush=True)
         del state, comp, params, model

@@ -61,20 +61,26 @@ GN_IMPL = os.environ.get("VGEN_GN_IMPL", "named")
 # modules create (init always runs unfused), so checkpoints/importer are
 # oblivious to it.
 FUSED_TT = os.environ.get("VGEN_FUSED_TT", "auto")
+# Fused TemporalConvBlock chain (ops/fused_tconv.py): same tri-state and
+# the same init/checkpoint obliviousness as FUSED_TT.
+FUSED_TCONV = os.environ.get("VGEN_FUSED_TCONV", "auto")
 
 
 def set_fused_tt(mode=None):
-    """Set the fused-TT dispatch mode for this process; ``None`` restores
-    the env default. Train engines call ``set_fused_tt("off")`` at worker
-    entry so every model in a training step (e.g. the VideoLCM student /
-    frozen teacher / EMA target trio, where teacher+target run with
-    deterministic=True) shares ONE numeric path — the fused kernel is
-    validated for inference, not for loss landscapes that compare two
+    """Set the fused-kernel dispatch mode (BOTH the TemporalTransformer
+    and TemporalConvBlock kernels) for this process; ``None`` restores
+    the env defaults. Train engines call ``set_fused_tt("off")`` at
+    worker entry so every model in a training step (e.g. the VideoLCM
+    student / frozen teacher / EMA target trio, where teacher+target run
+    with deterministic=True) shares ONE numeric path — the fused kernels
+    are validated for inference, not for loss landscapes that compare two
     paths (ADVICE r4). Infer engines reset to the env default. The flag
     is read at TRACE time, so it must be set before the first jit call."""
-    global FUSED_TT
+    global FUSED_TT, FUSED_TCONV
     FUSED_TT = os.environ.get("VGEN_FUSED_TT", "auto") if mode is None \
         else mode
+    FUSED_TCONV = os.environ.get("VGEN_FUSED_TCONV", "auto") \
+        if mode is None else mode
     return FUSED_TT
 
 
@@ -375,7 +381,13 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, sk, self.heads, self.dim_head)
         v = v.reshape(b, sk, self.heads, self.dim_head)
-        o = checkpoint_name(attention(q, k, v), "attn_out").reshape(b, sq, inner)
+        # tag AFTER the reshape: the kernel's [b*h, s, 64] output pads 2x
+        # under the (8,128) tile (64 -> 128 minor dim); the merged-head
+        # [b, s, inner] view pads only inner -> ceil(inner/128)*128
+        # (1.2x at inner=320) — measured 140 MB -> 84 MB per saved
+        # level-1 attn_out at train b4 (r5 OOM dump)
+        o = checkpoint_name(attention(q, k, v).reshape(b, sq, inner),
+                            "attn_out")
         out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
         if self.use_lora:
             out = out + LoRA(self.lora_rank, x.shape[-1], self.lora_alpha,
@@ -526,8 +538,31 @@ class TemporalConvBlock(nn.Module):
     deterministic: bool = True
     dtype: Optional[Dtype] = None
 
+    def _use_fused(self, x) -> bool:
+        """Route through ops/fused_tconv.py: inference (deterministic ->
+        dropout is identity), real video batches only (the multiply-zero
+        image paths keep flax), TPU-validated shape. Init always runs the
+        flax modules so the param tree is identical either way."""
+        if FUSED_TCONV == "off" or self.is_initializing():
+            return False
+        if not self.deterministic or self.dtype != jnp.bfloat16:
+            return False
+        b, f, h, w, c = x.shape
+        if self.use_image_dataset or (self.zero_if_single_frame and f == 1):
+            return False
+        from ..ops.attention import _on_tpu
+        from ..ops.fused_tconv import fusable
+        if not fusable(f, c, h * w, x.dtype):
+            return False
+        return FUSED_TCONV == "interpret" or _on_tpu()
+
     @nn.compact
     def __call__(self, x):
+        if self._use_fused(x):
+            from ..ops import fused_tconv
+            return fused_tconv.fused_temporal_conv_chain(
+                x, self.variables["params"],
+                interpret=FUSED_TCONV == "interpret")
         identity = x
         c = x.shape[-1]
 
@@ -662,7 +697,8 @@ class PreNormAttention(nn.Module):
         q = q.reshape(b, s, self.heads, self.dim_head)
         k = k.reshape(b, s, self.heads, self.dim_head)
         v = v.reshape(b, s, self.heads, self.dim_head)
-        o = checkpoint_name(attention(q, k, v), "attn_out").reshape(b, s, inner)
+        o = checkpoint_name(attention(q, k, v).reshape(b, s, inner),
+                            "attn_out")  # tag post-reshape (padding, above)
         o = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(o)
         o = nn.Dropout(self.dropout)(o, deterministic=self.deterministic)
         return o + x

@@ -80,6 +80,14 @@ class UNetSD_T2VBase(nn.Module):
     # (jax checkpoint_dots_with_no_batch_dims_saveable). Trades HBM for
     # backward-pass FLOPs; measure per workload (tools_dev/profile_train).
     remat_policy: Optional[str] = None
+    # Per-level remat skip: blocks at spatial scale <= this threshold are
+    # NOT rematerialized (their activations are saved). The UNet's FLOPs
+    # are balanced across levels (HW halves 4x while C^2 grows 4x: levels
+    # 1-3 each carry ~equal conv+matmul work) but activation BYTES shrink
+    # 4x per level — so at e.g. 0.25 the backward replay of ~35% of the
+    # network's FLOPs is eliminated for a small HBM cost (level-3/4
+    # tensors are 16-64x smaller than level-1). 0.0 = remat everywhere.
+    remat_skip_scale: float = 0.0
 
     def setup(self):
         self._setup_embeddings()
@@ -131,20 +139,21 @@ class UNetSD_T2VBase(nn.Module):
                 f"{sorted(str(k) for k in policies)}")
         pol = policies[self.remat_policy]
         kw = {"policy": pol} if pol is not None else {}
-        RB = nn.remat(ResBlock, static_argnums=(3,), **kw) \
-            if self.use_checkpoint else ResBlock
-        ST = nn.remat(SpatialTransformer, **kw) \
-            if self.use_checkpoint else SpatialTransformer
-        TT = nn.remat(TemporalTransformer, **kw) \
-            if self.use_checkpoint else TemporalTransformer
 
-        def spatial(ch):
+        def _maybe_remat(cls, scale, **remat_kw):
+            if not self.use_checkpoint or scale <= self.remat_skip_scale:
+                return cls
+            return nn.remat(cls, **remat_kw, **kw)
+
+        def spatial(ch, scale=1.0):
+            ST = _maybe_remat(SpatialTransformer, scale)
             return ST(heads=ch // self.head_dim, dim_head=self.head_dim,
                       depth=1, use_lora=self.use_lora,
                       lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                       deterministic=det, dtype=self.dtype)
 
-        def temporal(ch, heads=None):
+        def temporal(ch, heads=None, scale=1.0):
+            TT = _maybe_remat(TemporalTransformer, scale)
             return TT(heads=heads or ch // self.head_dim,
                       dim_head=self.head_dim, depth=1,
                       multiply_zero=self.use_image_dataset,
@@ -153,11 +162,12 @@ class UNetSD_T2VBase(nn.Module):
                       lora_alpha=self.lora_alpha,
                       deterministic=det, dtype=self.dtype)
 
-        def resblock(ch):
+        def resblock(ch, scale=1.0):
             # the reference constructs every ResBlock with
             # use_scale_shift_norm=False regardless of the config flag
             # (e.g. unet_t2v.py:124, unet_sr600.py:129) — match it for
             # released-weight compatibility; the field stays for API parity
+            RB = _maybe_remat(ResBlock, scale, static_argnums=(3,))
             return RB(out_channels=ch, dropout=self.dropout,
                       use_scale_shift_norm=False,
                       use_image_dataset=self.use_image_dataset,
@@ -177,11 +187,11 @@ class UNetSD_T2VBase(nn.Module):
         scale = 1.0
         for i, (in_ch, out_ch) in enumerate(zip(enc_dims[:-1], enc_dims[1:])):
             for j in range(self.num_res_blocks):
-                block = [resblock(out_ch)]
+                block = [resblock(out_ch, scale)]
                 if scale in self.attn_scales:
-                    block.append(spatial(out_ch))
+                    block.append(spatial(out_ch, scale))
                     if self.temporal_attention:
-                        block.append(temporal(out_ch))
+                        block.append(temporal(out_ch, scale=scale))
                 blocks.append(block)
                 shortcut_dims.append(out_ch)
                 if i != len(self.dim_mult) - 1 and j == self.num_res_blocks - 1:
@@ -195,10 +205,10 @@ class UNetSD_T2VBase(nn.Module):
 
         # ---- middle (reference :153-172) ----------------------------------
         mid_ch = enc_dims[-1]
-        middle = [resblock(mid_ch), spatial(mid_ch)]
+        middle = [resblock(mid_ch, scale), spatial(mid_ch, scale)]
         if self.temporal_attention:
-            middle.append(temporal(mid_ch))
-        middle.append(resblock(mid_ch))
+            middle.append(temporal(mid_ch, scale=scale))
+        middle.append(resblock(mid_ch, scale))
         self.middle_block = middle
 
         # ---- decoder (reference :174-203) ----------------------------------
@@ -206,11 +216,11 @@ class UNetSD_T2VBase(nn.Module):
         scale_d = scale
         for i, (in_ch, out_ch) in enumerate(zip(dec_dims[:-1], dec_dims[1:])):
             for j in range(self.num_res_blocks + 1):
-                block = [resblock(out_ch)]
+                block = [resblock(out_ch, scale_d)]
                 if scale_d in self.attn_scales:
-                    block.append(spatial(out_ch))
+                    block.append(spatial(out_ch, scale_d))
                     if self.temporal_attention:
-                        block.append(temporal(out_ch))
+                        block.append(temporal(out_ch, scale=scale_d))
                 if i != len(self.dim_mult) - 1 and j == self.num_res_blocks:
                     block.append(Upsample(out_ch, trim_lr=self.upsample_trim,
                                           dtype=self.dtype))
