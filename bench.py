@@ -263,7 +263,8 @@ def bench_videolcm(peak: float) -> dict:
 # --------------------------------------------------------------------- #
 # record 4: fused train step at the reference training shape
 # --------------------------------------------------------------------- #
-def bench_train(peak: float, flavor: str = "adafactor") -> dict:
+def bench_train(peak: float, flavor: str = "adafactor",
+                attempts_override=None) -> dict:
     """s/it + MFU of the fused t2v train step: 16 frames @ 448x256
     latents (the reference per-GPU shape, configs/t2v_train.yaml:66-72),
     largest batch that fits ONE chip.
@@ -286,6 +287,11 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
     cfg = default_cfg()
     cfg.update({"max_frames": 16, "resolution": [448, 256],
                 "p_zero": 0.1, "ema_decay": 0.9999, "use_div_loss": False})
+    # hardware-RNG dropout masks, like the shipped train configs
+    # (prng_impl: rbg): threefry masks cost 6.9% of the step at b4
+    # (1787.4 -> 1664.6 ms/it, doc/TRAIN_PERF.md). Set BEFORE any key
+    # below is created; later records build their own keys fresh.
+    jax.config.update("jax_default_prng_impl", "rbg")
     # remat_policy "attn_gn": save attention outputs + GroupNorm stats —
     # measured best of {None, attn, attn_gn} at b4 (1843.7 / 1834.2 /
     # 1808.3 ms/it; no-remat OOMs even at b1), tools_dev/profile_remat.py
@@ -293,15 +299,11 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
                     use_checkpoint=True, remat_policy="attn_gn",
                     dtype=jnp.bfloat16)
 
-    model = MODEL.build(dict(cfg.UNet), training=True)
     diffusion = DIFFUSION.build(dict(cfg.Diffusion))
 
     lh, lw = 256 // 8, 448 // 8
     key = jax.random.PRNGKey(0)
     x0s = jnp.zeros((1, 2, lh, lw, 4))
-    init_params = jax.jit(lambda: model.init(
-        {"params": key, "dropout": key}, x0s, jnp.zeros((1,), jnp.int32),
-        y=jnp.zeros((1, 77, 1024))))
 
     sched = annealing_lr(5e-5, 10, 1000, "cosine")
     use_ema = flavor == "adamw_ema"
@@ -309,22 +311,35 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
         optimizer = adamw_lowmem(sched, weight_decay=0.0)
     else:
         optimizer = adafactor(sched)
-    train_step = make_train_step(cfg, model, diffusion, optimizer,
-                                 use_ema=use_ema)
     zero_y = jnp.zeros((1, 77, 1024))
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", 5))
 
-    # (frames, batch) attempts. adafactor: reference per-GPU batch at 16f
-    # is 4. adamw_ema (f32 master + bf16 m/v + bf16 EMA = 14 GB states):
+    # (frames, batch, remat_skip_scale) attempts, best-known first.
+    # adafactor: (16, 2, skip 0.25) is the measured throughput winner —
+    # blocks at scale <= 0.25 (level 3/4 + middle) keep their
+    # activations instead of replaying, 816.6 ms/it vs 832.3 (b4-
+    # equivalent per-sample, rbg) / 893.7 (b2 no skip): 2.45 samples/s
+    # vs 2.40 / 2.24 (threefry b4 r4: 2.14). skip at b4 OOMs (+648 MB),
+    # b2 skip 0.5 OOMs (+168 MB) — doc/TRAIN_PERF.md has the ladder.
+    # adamw_ema (f32 master + bf16 m/v + bf16 EMA = 14 GB states):
     # 16f doesn't fit at ANY batch on one 16 GB chip (measured
     # RESOURCE_EXHAUSTED r4) — anchor the reference-semantics number at
     # 8 frames instead of leaving it purely arithmetic (VERDICT r4 #5).
-    attempts = [(16, 4), (16, 2), (16, 1)] if not use_ema else \
-        [(8, 1), (4, 1), (2, 1)]
+    attempts = [(16, 2, 0.25), (16, 4, 0.0), (16, 2, 0.0), (16, 1, 0.0)] \
+        if not use_ema else [(8, 1, 0.0), (4, 1, 0.0), (2, 1, 0.0)]
+    if attempts_override is not None:
+        attempts = attempts_override
     last_err = None
     state = params = compiled = None
-    for f, b in attempts:
+    for f, b, skip in attempts:
         try:
+            model = MODEL.build(dict(cfg.UNet, remat_skip_scale=skip),
+                                training=True)
+            train_step = make_train_step(cfg, model, diffusion, optimizer,
+                                         use_ema=use_ema)
+            init_params = jax.jit(lambda: model.init(
+                {"params": key, "dropout": key}, x0s,
+                jnp.zeros((1,), jnp.int32), y=jnp.zeros((1, 77, 1024))))
             # fresh params per attempt: train_step donates the state, so
             # a runtime OOM leaves the previous attempt's buffers deleted
             params = init_params()
@@ -376,21 +391,40 @@ def bench_train(peak: float, flavor: str = "adafactor") -> dict:
     else:
         raise last_err
 
+    # Two utilization numbers, because remat muddies "MFU":
+    #   mfu       — HLO-counted flops / time / peak, the convention of the
+    #               r2-r4 records (counts the remat REPLAY as work, i.e.
+    #               HFU). Kept as the headline field for cross-round
+    #               comparability.
+    #   mfu_model — standard MFU: 3x fwd model flops (fwd at 16f 448x256
+    #               is 8.53 TFLOP/sample, the base record's CFG-batched
+    #               17.06/2) / time / peak. Penalizes replay, so it is
+    #               the number that rewards remat_skip_scale.
+    # samples_per_sec_per_chip is the convention-free throughput.
+    model_flops = 3 * 8.53e12 * b * (f / 16.0)
     mfu = flops / sec / peak if np.isfinite(flops) else float("nan")
-    log(f"train step[{flavor}]: {f}f b{b} {sec:.3f} s/it, {flops/1e12:.1f} "
-        f"TFLOP, MFU {mfu:.3f}")
+    mfu_model = model_flops / sec / peak
+    log(f"train step[{flavor}]: {f}f b{b} skip{skip} {sec:.3f} s/it, "
+        f"hlo {flops/1e12:.1f} TFLOP (model {model_flops/1e12:.1f}), "
+        f"MFU(hlo) {mfu:.3f} MFU(model) {mfu_model:.3f} "
+        f"{b/sec:.2f} samples/s")
     opt_desc = ("adamw(bf16 params+state)+ema(bf16)" if use_ema
                 else "adafactor")
     return {
         "name": f"train_step_448x256_{f}f_b{b}_{flavor}",
         "metric": f"fused train step s/it @ {f}f 448x256 batch {b} "
-                  f"(fwd+bwd+{opt_desc}, bf16, remat)",
+                  f"(fwd+bwd+{opt_desc}, bf16, remat skip{skip}, rbg)",
         "value": round(sec, 3), "unit": "s/it",
-        "frames": f, "batch": b,
+        "frames": f, "batch": b, "remat_skip_scale": skip,
+        "prng_impl": "rbg",
         "compile_s": round(compile_s, 1),
-        "tflop_per_step": round(flops / 1e12, 2),
-        "tflops_per_sec": round(flops / sec / 1e12, 2),
+        "tflop_hlo_per_step": round(flops / 1e12, 2)
+        if np.isfinite(flops) else None,
+        "tflop_model_per_step": round(model_flops / 1e12, 2),
+        "tflops_per_sec": round(flops / sec / 1e12, 2)
+        if np.isfinite(flops) else None,
         "mfu": round(mfu, 4),
+        "mfu_model": round(mfu_model, 4),
         "samples_per_sec_per_chip": round(b / sec, 3),
     }
 
@@ -767,6 +801,11 @@ def main():
         guarded("videolcm", 15, 100, bench_videolcm, peak)
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         guarded("train_step", 60, 500, bench_train, peak, "adafactor")
+        # second adafactor point at the r2-r4 shape (16f b4, no skip) so
+        # the cross-round MFU series stays unbroken next to the
+        # throughput-best (16f b2 skip 0.25) primary record
+        guarded("train_step_b4", 60, 500, bench_train, peak, "adafactor",
+                attempts_override=[(16, 4, 0.0)])
         live_gb = sum(x.nbytes for x in jax.live_arrays()) / 1e9
         log(f"live device bytes after train record: {live_gb:.2f} GB")
     if not os.environ.get("BENCH_SKIP_720P"):

@@ -34,7 +34,10 @@ B = int(os.environ.get("PROF_B", 2))
 ucfg = dict(type="UNetSD_T2VBase", in_dim=4, dim=320, y_dim=1024,
             context_dim=1024, out_dim=4, dim_mult=[1, 2, 4, 4],
             num_heads=8, head_dim=64, num_res_blocks=2,
-            attn_scales=[1.0, 0.5, 0.25], dropout=0.1,
+            attn_scales=[1.0, 0.5, 0.25],
+            # PROF_DROPOUT=0 bounds the cost of mask generation (threefry
+            # elementwise, replayed under remat) + the mask multiplies
+            dropout=float(os.environ.get("PROF_DROPOUT", 0.1)),
             temporal_attention=True,
             use_checkpoint=os.environ.get("PROF_CKPT", "1") == "1",
             training=True, dtype=jnp.bfloat16)

@@ -193,6 +193,11 @@ def default_cfg() -> AttrDict:
 
     # ---------------- misc (reference :234-236) ----------------------------
     cfg.seed = 8888
+    # jax PRNG for train-time keys (dropout masks / noise): None keeps
+    # jax's default threefry; "rbg" uses the hardware RNG — measured
+    # -6.9% train step at 16f b4 (doc/TRAIN_PERF.md). TPU-native knob,
+    # no reference analog; full train configs set it to rbg.
+    cfg.prng_impl = None
     cfg.negative_prompt = (
         "Distorted, discontinuous, Ugly, blurry, low resolution, motionless, "
         "static, disfigured, disconnected limbs, Ugly faces, incomplete arms"

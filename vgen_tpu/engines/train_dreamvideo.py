@@ -47,7 +47,7 @@ def train_dreamvideo_entrance(cfg_update, **kwargs):
     log_dir = str(cfg.log_dir)
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir, rank=jax.process_index())
-    key = setup_seed(int(cfg.seed))
+    key = setup_seed(int(cfg.seed), prng_impl=cfg.get("prng_impl"))
     blocks.set_fused_tt("off")  # one numeric path for all models in training
     mesh = create_mesh()
 

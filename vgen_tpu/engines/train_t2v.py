@@ -183,7 +183,7 @@ def train_worker(cfg):
     os.makedirs(log_dir, exist_ok=True)
     rank = jax.process_index()
     setup_logging(log_dir, rank=rank, rank0_only=False)
-    key = setup_seed(int(cfg.seed))
+    key = setup_seed(int(cfg.seed), prng_impl=cfg.get("prng_impl"))
     # one numeric path for every model in a train step (incl. eval-mode
     # teachers and visual-hook sampling) — see blocks.set_fused_tt
     blocks.set_fused_tt("off")

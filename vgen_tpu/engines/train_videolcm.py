@@ -137,7 +137,7 @@ def train_videolcm_t2v_entrance(cfg_update, **kwargs):
     log_dir = str(cfg.log_dir)
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir, rank=jax.process_index())
-    key = setup_seed(int(cfg.seed))
+    key = setup_seed(int(cfg.seed), prng_impl=cfg.get("prng_impl"))
     # student / frozen teacher / EMA target must share one numeric path:
     # the consistency Huber loss (huber_c 1e-3) compares their outputs
     blocks.set_fused_tt("off")
