@@ -783,13 +783,28 @@ def main():
             emit({"name": name, "skipped_budget": True,
                   "est_s": est, "remaining_s": round(remaining, 1)})
             return
-        try:
-            out = fn(*args, **kwargs)
-            if out is not None:
-                emit(out)
-        except Exception as e:  # noqa: BLE001
-            log(f"{name} record failed: {type(e).__name__}: {e}")
-            emit({"name": name, "error": f"{type(e).__name__}: {e}"})
+        for attempt in (1, 2):
+            try:
+                out = fn(*args, **kwargs)
+                if out is not None:
+                    emit(out)
+                break
+            except Exception as e:  # noqa: BLE001
+                msg = f"{type(e).__name__}: {e}"
+                # the axon tunnel occasionally drops one remote_compile
+                # response mid-read (INTERNAL: ... response body closed,
+                # lost the videolcm record in the r5 builder run); one
+                # retry re-issues the compile, usually against a warm
+                # server-side cache
+                transient = ("INTERNAL" in msg or "remote_compile" in msg
+                             or "DEADLINE" in msg)
+                if attempt == 1 and transient:
+                    log(f"{name} transient failure ({msg[:120]}) — retrying")
+                    gc.collect()
+                    continue
+                log(f"{name} record failed: {msg}")
+                emit({"name": name, "error": msg})
+                break
         gc.collect()
 
     # cheapest-first within priority (VERDICT r3 #1): base headline, then
